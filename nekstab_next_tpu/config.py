@@ -1,0 +1,154 @@
+"""Typed configuration — single tier replacing the reference's three tiers.
+
+The reference splits configuration across (1) the Nek ``.par`` file
+(``param(·)`` / ``uparam(1..10)``), (2) compiled-in defaults broadcast in
+``nekStab_setDefault`` (reference core/main.f90:2-75), and (3) per-case
+``nekStab_usrchk`` overrides compiled into the binary.  Here a single frozen
+dataclass covers all of it; the ``uparam(1)`` mode table (reference
+RELEASE.md:1-45, core/main.f90:138-251) survives only as the ``AnalysisMode``
+enum for users coming from nekStab.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class AnalysisMode(enum.Enum):
+    """The reference's uparam(1) dispatch codes (reference RELEASE.md:1-45)."""
+
+    DNS = 0.0
+    SFD = 1.1
+    BOOSTCONV = 1.2
+    DMT = 1.3
+    TDF = 1.4
+    NEWTON_FIXED_POINT = 2.0
+    NEWTON_UPO = 2.1
+    NEWTON_FORCED_UPO = 2.2
+    DIRECT = 3.1
+    DIRECT_FLOQUET = 3.11
+    ADJOINT = 3.2
+    ADJOINT_FLOQUET = 3.21
+    TRANSIENT_GROWTH = 3.3
+    TRANSIENT_GROWTH_FLOQUET = 3.31
+    RESOLVENT = 3.4
+    RESOLVENT_FLOQUET = 3.41
+    POSTPROC_ALL = 4.0
+    POSTPROC_BUDGET = 4.1
+    POSTPROC_WAVEMAKER = 4.2
+    POSTPROC_BF_SENSITIVITY = 4.3
+    POSTPROC_FORCE_SENSITIVITY = 4.41
+    POSTPROC_DELTA_FORCING = 4.43
+
+
+@dataclasses.dataclass(frozen=True)
+class SpongeConfig:
+    """Sponge-layer extents/strength (reference core/forcing.f90:82-252).
+
+    The sponge damps both the *dynamics* (forcing term) and the *inner
+    product* (the reference zeroes the masked mass matrix ``bm1s`` inside the
+    sponge, core/forcing.f90:100-104)."""
+
+    x_left: float = 0.0  # sponge width at the -x boundary (xLspg)
+    x_right: float = 0.0  # xRspg
+    y_left: float = 0.0
+    y_right: float = 0.0
+    z_left: float = 0.0
+    z_right: float = 0.0
+    strength: float = 0.0  # spng_st
+    accel_fraction: float = 0.333  # acc_spg: rise fraction of the smooth step
+
+    @property
+    def active(self) -> bool:
+        return self.strength != 0.0 and (
+            self.x_left + self.x_right + self.y_left + self.y_right
+            + self.z_left + self.z_right
+        ) > 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Time-integration / inner-solver knobs (reference core/matvec.f90:1-52,
+    examples/cylinder/1cyl.par)."""
+
+    dt: Optional[float] = None  # None -> from target_cfl
+    target_cfl: float = 0.5  # reference caps param(26) at 0.5 (matvec.f90:21)
+    bdf_order: int = 3  # BDF3/EXT3 (reference uses Nek TORDER=3)
+    pressure_tol: float = 1e-8  # .par pressure residualTol
+    velocity_tol: float = 1e-9  # .par velocity residualTol
+    pressure_maxiter: int = 2000
+    velocity_maxiter: int = 500
+    dealias: bool = True  # over-integration of convection (Nek lxd = 3/2 lx1)
+
+
+@dataclasses.dataclass(frozen=True)
+class KrylovConfig:
+    """Eigensolver / Krylov knobs (reference core/main.f90:9-30)."""
+
+    k_dim: int = 100  # Krylov subspace dimension
+    schur_tgt: int = 2  # number of eigenpairs targeted per Schur restart
+    eigen_tol: float = 1e-6  # Ritz residual tolerance
+    schur_del: float = 0.10  # |lambda| >= 1 - schur_del selection band
+    maxmodes: int = 20  # max converged modes written to disk
+    max_restarts: int = 50
+    seed: str = "noise"  # 'noise' | 'symmetric' | 'load' | 'baseflow'
+    checkpoint: bool = False  # outpost (basis, H) each iteration (ifres)
+
+
+@dataclasses.dataclass(frozen=True)
+class NewtonConfig:
+    """Newton-Krylov knobs (reference core/newton_krylov.f90)."""
+
+    max_iter: int = 100
+    tol: float = 1e-10
+    gmres_restarts: int = 100
+    dynamic_tol: bool = True  # spec_tole scheduling (newton_krylov.f90:408-435)
+    finite_difference: bool = False  # Frechet derivative by FD instead of jvp
+    fd_order: int = 1
+    fd_epsilon: float = 1e-6  # epsilon_base
+
+
+@dataclasses.dataclass(frozen=True)
+class SFDConfig:
+    """Selective frequency damping (reference core/fixedp.f90:124-216)."""
+
+    gain: float = -0.05  # forcing gain (chi); negative as in reference
+    cutoff: float = 0.05  # filter cutoff frequency (Delta = 1/cutoff)
+    tol: float = 1e-9
+
+
+@dataclasses.dataclass(frozen=True)
+class BoostConvConfig:
+    """BoostConv accelerator (reference core/fixedp.f90:218-329)."""
+
+    skip: int = 10  # bst_skp
+    subspace: int = 10  # bst_snp
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level run configuration."""
+
+    reynolds: float = 50.0
+    mode: AnalysisMode = AnalysisMode.DNS
+    end_time: float = 1.0  # horizon T of the propagator exp(T L)
+    num_steps: Optional[int] = None  # None -> ceil(end_time / dt)
+    solver: SolverConfig = SolverConfig()
+    krylov: KrylovConfig = KrylovConfig()
+    newton: NewtonConfig = NewtonConfig()
+    sfd: SFDConfig = SFDConfig()
+    boostconv: BoostConvConfig = BoostConvConfig()
+    sponge: SpongeConfig = SpongeConfig()
+    floquet: bool = False  # periodic base flow (orbit stored & replayed)
+    store_orbit: bool = True  # ifstorebase
+    output_dir: str = "."
+    session: str = "run"
+
+    @property
+    def viscosity(self) -> float:
+        return 1.0 / self.reynolds
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,106 @@
+"""Krylov vector algebra over arbitrary pytrees with a weighted inner product.
+
+The framework's own replacement for the reference's two vector layers — the
+``krylov_vector`` type + ``k_dot/k_normalize/k_matmul`` algebra
+(core/krylov_subspace.f90:12-209) and the LightKrylov-conforming
+``real_nek_vector`` (core/nek_vectors.f90:20-42).  A "vector" is any pytree of
+arrays (e.g. a velocity field, or (velocity, period) for UPOs); the inner
+product is supplied by the operator (mass-weighted, sponge-masked — the
+reference's ``glsc3(·, bm1s, ·)``).
+
+A :class:`Basis` stores k_dim+1 vectors as one stacked pytree (leading axis =
+column) — the sharded "Krylov basis" memory object of SURVEY.md section 2.3.
+Basis-matrix products (``k_matmul``, the Schur-restart rotation Q @ V —
+reference eigensolvers.f90:433-446) are single batched contractions that XLA
+maps to the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class VectorSpace:
+    """Bundles the weighted inner product and elementary vector algebra."""
+
+    def __init__(self, dot: Callable[[Any, Any], jnp.ndarray]):
+        self._dot = dot
+
+    # -- algebra (all jit-safe) ---------------------------------------
+    def dot(self, x, y):
+        return self._dot(x, y)
+
+    def norm(self, x):
+        return jnp.sqrt(self._dot(x, x))
+
+    def scale(self, a, x):
+        return jax.tree.map(lambda l: a * l, x)
+
+    def axpby(self, a, x, b, y):
+        return jax.tree.map(lambda lx, ly: a * lx + b * ly, x, y)
+
+    def add(self, x, y):
+        return jax.tree.map(jnp.add, x, y)
+
+    def sub(self, x, y):
+        return jax.tree.map(jnp.subtract, x, y)
+
+    def zeros_like(self, x):
+        return jax.tree.map(jnp.zeros_like, x)
+
+    def normalize(self, x):
+        n = self.norm(x)
+        return self.scale(1.0 / n, x), n
+
+
+class Basis:
+    """Preallocated stacked basis of ``capacity`` vectors (leading axis)."""
+
+    def __init__(self, space: VectorSpace, template, capacity: int):
+        self.space = space
+        self.capacity = capacity
+        self.Q = jax.tree.map(
+            lambda l: jnp.zeros((capacity,) + l.shape, dtype=l.dtype), template
+        )
+
+    def set(self, j: int, x) -> None:
+        self.Q = jax.tree.map(
+            lambda B, l: B.at[j].set(l), self.Q, x
+        )
+
+    def get(self, j: int):
+        return jax.tree.map(lambda B: B[j], self.Q)
+
+    def dots(self, w, ncols: Optional[int] = None) -> jnp.ndarray:
+        """Inner products of w against all (or the first ncols) columns."""
+        d = jax.vmap(lambda q: self.space.dot(q, w))(self.Q)
+        if ncols is not None:
+            mask = jnp.arange(self.capacity) < ncols
+            d = jnp.where(mask, d, 0.0)
+        return d
+
+    def combine(self, y: jnp.ndarray):
+        """Linear combination sum_j y[j] Q_j (the reference's ``k_matmul``).
+        ``y`` has length ``capacity`` (zero-padded beyond the active columns).
+        """
+        return jax.tree.map(lambda B: jnp.tensordot(y, B, axes=(0, 0)), self.Q)
+
+    def rotate(self, V: jnp.ndarray, ncols_out: int) -> None:
+        """In-place basis rotation Q[:, :m] <- Q @ V with V (capacity, m) —
+        the Schur-condensation hot spot (reference eigensolvers.f90:433-446),
+        one big device matmul here."""
+        m = V.shape[1]
+        newQ = jax.tree.map(
+            lambda B: jnp.tensordot(V.T, B, axes=(1, 0)), self.Q
+        )  # (m, ...) leading axis
+        self.Q = jax.tree.map(
+            lambda B, Bn: jnp.concatenate(
+                [Bn, jnp.zeros((B.shape[0] - m,) + B.shape[1:], B.dtype)], axis=0
+            ),
+            self.Q,
+            newQ,
+        )
+        del ncols_out

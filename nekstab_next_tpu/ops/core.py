@@ -1,0 +1,260 @@
+"""Core spectral-element operators on ``(nelem, n, n)`` fields.
+
+TPU-native replacements for the Nek5000 operator layer the reference uses
+(SURVEY.md section 2.2): tensor-product derivatives (``gradm1``), the
+gather-scatter direct-stiffness sum (gslib ``dssum/dsavg``), mass-weighted
+global inner products (``glsc3`` + MPI all-reduce), weak Laplacian/Helmholtz
+applies, and dealiased convection (``convect_new`` with the 3/2 rule).
+
+Design:
+
+* Per-element operators are batched dense contractions (``einsum`` over the
+  element axis) — XLA tiles them onto the MXU; a Pallas fused-derivative
+  kernel can replace the einsums later without touching callers.
+* ``dssum`` is a segment-sum into the global-node vector followed by a
+  gather.  Under SPMD (``shard_map`` over the element axis) the global-node
+  vector is psum-reduced across devices — the XLA-collective equivalent of
+  gslib's neighbor exchange.  ``axis_name=None`` means single-device.
+* All reductions accept ``axis_name`` so the same code runs single-chip and
+  under a device mesh.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.gll import (
+    diff_matrix,
+    gauss_points_weights,
+    gll_points_weights,
+    lagrange_interp_matrix,
+)
+from ..mesh.mesh import Mesh2D
+
+
+class SEM:
+    """Device-resident spectral-element operator context for one mesh.
+
+    Holds jnp copies of the mesh's precomputed factors; all methods are pure
+    (jit/vmap/grad-safe) and close over these arrays as constants.
+    """
+
+    def __init__(self, mesh: Mesh2D, dtype=jnp.float64, axis_name: Optional[str] = None):
+        self.mesh = mesh
+        self.dtype = dtype
+        self.axis_name = axis_name
+        n = mesh.n
+        self.n = n
+        self.nelem = mesh.nelem
+        self.nglobal = mesh.nglobal
+
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        self.D = f(diff_matrix(n))
+        _, w = gll_points_weights(n)
+        self.w = f(w)
+        self.gid = jnp.asarray(mesh.gid.reshape(-1), dtype=jnp.int32)
+        self.rx, self.ry = f(mesh.rx), f(mesh.ry)
+        self.sx, self.sy = f(mesh.sx), f(mesh.sy)
+        self.jac = f(mesh.jac)
+        self.bm = f(mesh.bm)
+        self.g11, self.g12, self.g22 = f(mesh.g11), f(mesh.g12), f(mesh.g22)
+        self.vmask = f(mesh.vmask)
+        self.pmask = f(mesh.pmask)
+        self.tmask = f(mesh.tmask)
+        # sponge-masked inner-product weight (reference bm1s, core/NEKSTAB:86);
+        # starts equal to bm and is overwritten by set_sponge_mask().
+        self.bms = self.bm
+        self.sponge = jnp.zeros_like(self.bm)  # sponge strength field lambda(x)
+
+        # assembled inverse mass and multiplicity (host-assembled, exact)
+        bmg = np.zeros(mesh.nglobal)
+        np.add.at(bmg, mesh.gid.reshape(-1), mesh.bm.reshape(-1))
+        self.binv_assembled = f(1.0 / bmg[mesh.gid])
+        self.inv_mult = f(1.0 / mesh.mult)
+
+        # dealiasing (3/2 over-integration) operators
+        nd = int(math.ceil(3 * n / 2))
+        self.nd = nd
+        zf, wf = gauss_points_weights(nd)
+        zc, _ = gll_points_weights(n)
+        J = lagrange_interp_matrix(zc, zf)  # (nd, n)
+        self.Jd = f(J)
+        self.wf2 = f(np.outer(wf, wf))
+        # fine-grid metrics/jacobian by interpolation of the coarse nodal ones
+        interp2 = lambda a: np.einsum("ai,bj,eij->eab", J, J, a)
+        self.jac_d = f(interp2(mesh.jac))
+        self.rx_d, self.ry_d = f(interp2(mesh.rx)), f(interp2(mesh.ry))
+        self.sx_d, self.sy_d = f(interp2(mesh.sx)), f(interp2(mesh.sy))
+
+        # number of devices sharing the element axis (set by parallel wrapper)
+        self.num_shards = 1
+
+    # ------------------------------------------------------------------
+    # gather-scatter
+    # ------------------------------------------------------------------
+    def dssum(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Direct-stiffness sum: add contributions of all elements sharing a
+        global node, return the summed value at every local node.
+
+        Equivalent of gslib ``dssum`` (reference utils.f90:287-343 uses it for
+        noise smoothing; every elliptic solve needs it).
+
+        Accepts trailing component axes: (nelem, n, n, ...)."""
+        flat = u.reshape((self.gid.shape[0],) + u.shape[3:])
+        g = jax.ops.segment_sum(flat, self.gid, num_segments=self.nglobal)
+        if self.axis_name is not None:
+            g = jax.lax.psum(g, self.axis_name)
+        return g[self.gid].reshape(u.shape)
+
+    @staticmethod
+    def _bc(w: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """Broadcast a (nelem,n,n) weight against trailing component axes."""
+        return w.reshape(w.shape + (1,) * (u.ndim - 3))
+
+    def dsavg(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Multiplicity-weighted average at shared nodes (Nek ``dsavg``)."""
+        return self.dssum(u) * self._bc(self.inv_mult, u)
+
+    def dsavg_mass(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Mass-weighted average at shared nodes: B^-1_assembled dssum(B u).
+        The projection onto the C0 space that is self-adjoint in the B inner
+        product — used for the pressure-correction update."""
+        return self._bc(self.binv_assembled, u) * self.dssum(self._bc(self.bm, u) * u)
+
+    # ------------------------------------------------------------------
+    # derivatives
+    # ------------------------------------------------------------------
+    def grad_ref(self, u: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Reference-element derivatives (u_xi, u_eta)."""
+        ur = jnp.einsum("ai,eij->eaj", self.D, u)
+        us = jnp.einsum("bj,eij->eib", self.D, u)
+        return ur, us
+
+    def grad(self, u: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Physical gradient (u_x, u_y) — the reference's ``gradm1``."""
+        ur, us = self.grad_ref(u)
+        return self.rx * ur + self.sx * us, self.ry * ur + self.sy * us
+
+    def div(self, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        ux, _ = self.grad(u)
+        _, vy = self.grad(v)
+        return ux + vy
+
+    def curl(self, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        """z-vorticity dv/dx - du/dy (``comp_vort3`` 2-D)."""
+        _, uy = self.grad(u)
+        vx, _ = self.grad(v)
+        return vx - uy
+
+    # ------------------------------------------------------------------
+    # weak-form elliptic operators (local, unassembled)
+    # ------------------------------------------------------------------
+    def stiffness_local(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Local weak Laplacian K u (integral of grad(phi).grad(u))."""
+        ur, us = self.grad_ref(u)
+        wr = self.g11 * ur + self.g12 * us
+        ws = self.g12 * ur + self.g22 * us
+        return jnp.einsum("ai,eaj->eij", self.D, wr) + jnp.einsum(
+            "bj,eib->eij", self.D, ws
+        )
+
+    def stiffness_diag(self) -> jnp.ndarray:
+        """Diagonal of the local stiffness (for Jacobi preconditioning)."""
+        D2 = self.D * self.D
+        d = jnp.einsum("ai,eaj->eij", D2, self.g11) + jnp.einsum(
+            "bj,eib->eij", D2, self.g22
+        )
+        dd = jnp.diagonal(self.D)
+        d = d + 2.0 * self.g12 * dd[:, None] * dd[None, :]
+        return d
+
+    def helmholtz_local(self, u: jnp.ndarray, h1, h2) -> jnp.ndarray:
+        """Local weak Helmholtz: h1 * K u + h2 * B u  (Nek ``axhelm``)."""
+        return h1 * self.stiffness_local(u) + h2 * self.bm * u
+
+    # ------------------------------------------------------------------
+    # convection
+    # ------------------------------------------------------------------
+    def convect_weak(self, cx, cy, u) -> jnp.ndarray:
+        """Weak convection  integral of  phi * (c . grad u), dealiased by
+        over-integration on the 3/2 Gauss grid (Nek ``convect_new``;
+        the reference relies on Nek dealiasing, SURVEY.md section 2.2)."""
+        ux, uy = self.grad(u)
+        J = self.Jd
+        to_fine = lambda a: jnp.einsum("ai,bj,eij->eab", J, J, a)
+        F = to_fine(cx) * to_fine(ux) + to_fine(cy) * to_fine(uy)
+        W = self.wf2 * self.jac_d * F
+        return jnp.einsum("ai,bj,eab->eij", J, J, W)
+
+    def convect_colloc(self, cx, cy, u) -> jnp.ndarray:
+        """Collocated (aliased) weak convection: B * (c . grad u)."""
+        ux, uy = self.grad(u)
+        return self.bm * (cx * ux + cy * uy)
+
+    # ------------------------------------------------------------------
+    # inner products / norms
+    # ------------------------------------------------------------------
+    def _reduce(self, s: jnp.ndarray) -> jnp.ndarray:
+        if self.axis_name is not None:
+            s = jax.lax.psum(s, self.axis_name)
+        return s
+
+    def inner(self, u: jnp.ndarray, v: jnp.ndarray, masked: bool = True) -> jnp.ndarray:
+        """Mass-weighted global inner product <u, v>_B — the reference's
+        ``glsc3(u, bm1s, v)`` (core/krylov_subspace.f90:26-60).  ``masked``
+        uses the sponge-masked weight bm1s."""
+        w = self.bms if masked else self.bm
+        return self._reduce(jnp.sum(u * v * w))
+
+    def norm(self, u: jnp.ndarray, masked: bool = True) -> jnp.ndarray:
+        return jnp.sqrt(self.inner(u, u, masked=masked))
+
+    def glsum(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self._reduce(jnp.sum(u))
+
+    def cgdot(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Inner product for the elliptic CG solves: multiplicity-weighted so
+        each *global* node counts once.  Required for the assembled operator
+        mask.dssum(K .) to be self-adjoint (Nek weights its solver dots with
+        ``vmult/tmult`` for the same reason)."""
+        w = self._bc(self.inv_mult, a)
+        return self._reduce(jnp.sum(a * b * w))
+
+    def glmax(self, u: jnp.ndarray) -> jnp.ndarray:
+        m = jnp.max(u)
+        if self.axis_name is not None:
+            m = jax.lax.pmax(m, self.axis_name)
+        return m
+
+    def volume(self) -> jnp.ndarray:
+        return self.glsum(self.bm)
+
+    def mean(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self._reduce(jnp.sum(u * self.bm)) / self.volume()
+
+    # ------------------------------------------------------------------
+    # sponge (reference core/forcing.f90:82-252)
+    # ------------------------------------------------------------------
+    def set_sponge(self, strength_field: np.ndarray) -> None:
+        """Install a sponge strength field lambda(x) >= 0; zeroes the
+        inner-product weight bm1s where the sponge acts (reference
+        forcing.f90:100-104 — essential for eigensolver cleanliness)."""
+        lam = jnp.asarray(strength_field, dtype=self.dtype)
+        self.sponge = lam
+        self.bms = jnp.where(lam > 0.0, 0.0, self.bm)
+
+    # ------------------------------------------------------------------
+    # CFL (reference utils.f90 compute_cfl; used for dt selection)
+    # ------------------------------------------------------------------
+    def cfl(self, u: jnp.ndarray, v: jnp.ndarray, dt: float) -> jnp.ndarray:
+        """Convective CFL number max |u.grad(xi)| dt / dxi_min."""
+        dz = float(np.min(np.diff(gll_points_weights(self.n)[0])))
+        ur = jnp.abs(u * self.rx + v * self.ry)
+        us = jnp.abs(u * self.sx + v * self.sy)
+        return self.glmax((ur + us) * dt / dz)

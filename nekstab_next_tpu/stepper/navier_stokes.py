@@ -1,0 +1,236 @@
+"""Incompressible Navier-Stokes time-stepper (the reference's ``nek_advance``).
+
+Scheme: BDFk/EXTk (k ramps 1->3, matching Nek TORDER=3 that the reference
+uses, SURVEY.md section 2.2) with incremental pressure correction:
+
+1. explicit terms  E^n = -C(u^n)u^n + B f^n  (dealiased weak convection,
+   sponge + user forcing), extrapolated with EXTk;
+2. velocity Helmholtz solve  (g0/dt B + nu K) u* = rhs  with Dirichlet lift;
+3. pressure-increment Poisson  K dp = -(g0/dt) B div(u*)  (Neumann at walls,
+   Dirichlet 0 at outflow);
+4. projection  u <- u* - (dt/g0) grad(dp), mass-averaged back onto the C0
+   space, BCs re-imposed; p <- p + dp.
+
+Both elliptic solves go through ``lax.custom_linear_solve`` (ops/cg.py), so
+``jax.jvp`` of :meth:`step` IS the linearized (perturbation) step and
+``jax.linear_transpose`` IS the discrete adjoint step — replacing the
+reference's ``forward_linearized_map`` / ``adjoint_linearized_map``
+(core/matvec.f90:150-474) without a second hand-derived solver.
+
+One :meth:`advance` call = one jitted ``lax.scan`` over nsteps = one
+application of the exponential propagator exp(T L) (core/matvec.f90:56-146).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SolverConfig
+from ..ops.cg import cg_solve
+from ..ops.core import SEM
+from .state import FlowState, initial_state
+
+# BDFk / EXTk coefficients, index k-1 (padded to length 3)
+_BDF = {
+    1: (1.0, [1.0, 0.0, 0.0]),
+    2: (1.5, [2.0, -0.5, 0.0]),
+    3: (11.0 / 6.0, [3.0, -1.5, 1.0 / 3.0]),
+}
+_EXT = {
+    1: [1.0, 0.0, 0.0],
+    2: [2.0, -1.0, 0.0],
+    3: [3.0, -3.0, 1.0],
+}
+
+
+class NavierStokes:
+    """Matrix-free incompressible NS stepper on one SEM mesh.
+
+    Parameters
+    ----------
+    sem : SEM operator context
+    viscosity : kinematic viscosity (1/Re)
+    dt : time step (constant — the reference forces constant dt,
+         core/matvec.f90:40-52)
+    u_bc : (nelem, n, n, 2) Dirichlet values (zero except at Dirichlet nodes)
+    forcing : optional ``f(u, t) -> (nelem,n,n,2)`` pointwise acceleration
+              (user hook, the reference's ``nekStab_forcing``)
+    sponge_ref : reference field toward which the sponge damps (DNS) — for
+              perturbation solves pass zeros (reference forcing.f90:35-50)
+    """
+
+    def __init__(
+        self,
+        sem: SEM,
+        viscosity: float,
+        dt: float,
+        u_bc: Optional[jnp.ndarray] = None,
+        forcing: Optional[Callable] = None,
+        sponge_ref: Optional[jnp.ndarray] = None,
+        solver: SolverConfig = SolverConfig(),
+    ):
+        self.sem = sem
+        self.nu = float(viscosity)
+        self.dt = float(dt)
+        self.solver = solver
+        s = sem
+        self.u_bc = (
+            jnp.zeros(s.bm.shape + (2,), dtype=s.dtype) if u_bc is None else u_bc.astype(s.dtype)
+        )
+        # keep only Dirichlet-node values in the lift field
+        self.u_bc = (1.0 - s.vmask) * self.u_bc
+        self.forcing = forcing
+        self.sponge_ref = sponge_ref
+        self._convect = s.convect_weak if solver.dealias else s.convect_colloc
+
+        # Jacobi preconditioners from assembled operator diagonals
+        kdiag = s.dssum(s.stiffness_diag())
+        bdiag = s.dssum(s.bm)
+        g0 = _BDF[3][0]  # preconditioner uses the steady-state coefficient
+        self._pinv_pressure = jnp.where(s.pmask > 0, 1.0 / kdiag, 1.0)
+        hd = (g0 / self.dt) * bdiag + self.nu * kdiag
+        self._pinv_helm = jnp.where(s.vmask > 0, 1.0 / hd[..., None], 1.0)
+
+    # ------------------------------------------------------------------
+    def _explicit_weak(self, u: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        """Weak explicit terms E = -C(u)u + B f(u,t) (local, unassembled)."""
+        s = self.sem
+        conv = jnp.stack(
+            [self._convect(u[..., 0], u[..., 1], u[..., d]) for d in range(2)], axis=-1
+        )
+        E = -conv
+        bm = s.bm[..., None]
+        if self.sponge_ref is not None:
+            lam = s.sponge[..., None]
+            E = E + bm * lam * (self.sponge_ref - u)
+        if self.forcing is not None:
+            E = E + bm * self.forcing(u, t)
+        return E
+
+    # ------------------------------------------------------------------
+    def step(self, state: FlowState) -> FlowState:
+        """Advance one time step (pure function; jvp/transpose-safe)."""
+        k = jnp.minimum(state.step, 2)  # 0,1,2 -> BDF1,2,3
+        fields = (state.u, state.p, state.ulag, state.nlag)
+        u, p, ulag, nlag = self._core(fields, state.time, k)
+        return FlowState(
+            u=u, p=p, ulag=ulag, nlag=nlag,
+            time=state.time + self.dt, step=state.step + 1,
+        )
+
+    def _core(self, fields: Tuple, time, k) -> Tuple:
+        """One step on the raw field tuple (u, p, ulag, nlag).
+
+        ``k`` selects the BDF/EXT order (0,1,2 -> BDF1,2,3); it may be a
+        traced value (nonlinear scan) or a concrete int — the linearized
+        operator (linearized.py) linearizes this function at each concrete k
+        so the startup ramp is frozen into three compiled tangent maps."""
+        u0, p0, ulag0, nlag0 = fields
+        s = self.sem
+        dt = self.dt
+
+        g0s = jnp.asarray([_BDF[1][0], _BDF[2][0], _BDF[3][0]], dtype=s.dtype)
+        bdfs = jnp.asarray([_BDF[1][1], _BDF[2][1], _BDF[3][1]], dtype=s.dtype)
+        exts = jnp.asarray([_EXT[1], _EXT[2], _EXT[3]], dtype=s.dtype)
+        g0 = g0s[k]
+        b = bdfs[k]
+        a = exts[k]
+
+        E0 = self._explicit_weak(u0, time)
+        bm = s.bm[..., None]
+
+        # weak RHS for the Helmholtz solve
+        rhs = (
+            (1.0 / dt) * bm * (b[0] * u0 + b[1] * ulag0[0] + b[2] * ulag0[1])
+            + a[0] * E0 + a[1] * nlag0[0] + a[2] * nlag0[1]
+        )
+        # incremental pressure: subtract weak grad of current pressure
+        px, py = s.grad(p0)
+        rhs = rhs - bm * jnp.stack([px, py], axis=-1)
+
+        # ---- velocity Helmholtz solve with Dirichlet lift ---------------
+        vmask = s.vmask
+        h2 = g0 / dt
+
+        def helm_local(w):
+            return jnp.stack(
+                [s.helmholtz_local(w[..., d], self.nu, h2) for d in range(2)], axis=-1
+            )
+
+        def A(w):
+            return vmask * s.dssum(helm_local(w)) + (1.0 - vmask) * w
+
+        rhs_h = vmask * s.dssum(rhs - helm_local(self.u_bc))
+        dot = s.cgdot
+        w = cg_solve(
+            A, rhs_h,
+            precond=lambda r: self._pinv_helm * r,
+            tol=self.solver.velocity_tol,
+            maxiter=self.solver.velocity_maxiter,
+            dot=dot,
+        )
+        ustar = w + self.u_bc
+
+        # ---- pressure-increment Poisson --------------------------------
+        pmask = s.pmask
+
+        def Ap(q):
+            return pmask * s.dssum(s.stiffness_local(q)) + (1.0 - pmask) * q
+
+        divu = s.div(ustar[..., 0], ustar[..., 1])
+        rhs_p = -(g0 / dt) * pmask * s.dssum(s.bm * divu)
+
+        project = None
+        if not s.mesh.has_pressure_dirichlet:
+            # remove the constant nullspace, orthogonally in the CG product
+            ones = jnp.ones_like(rhs_p)
+            csq = s.cgdot(ones, ones)
+
+            def project(q):
+                return q - (s.cgdot(q, ones) / csq) * ones
+
+            rhs_p = project(rhs_p)
+
+        dp = cg_solve(
+            Ap, rhs_p,
+            precond=lambda r: self._pinv_pressure * r,
+            tol=self.solver.pressure_tol,
+            maxiter=self.solver.pressure_maxiter,
+            dot=dot,
+            project=project,
+        )
+
+        # ---- projection / correction -----------------------------------
+        dpx, dpy = s.grad(dp)
+        u_new = ustar - (dt / g0) * jnp.stack([dpx, dpy], axis=-1)
+        u_new = s.dsavg_mass(u_new)
+        u_new = vmask * u_new + self.u_bc
+        p_new = p0 + dp
+
+        return (
+            u_new,
+            p_new,
+            jnp.stack([u0, ulag0[0]]),
+            jnp.stack([E0, nlag0[0]]),
+        )
+
+    # ------------------------------------------------------------------
+    def advance(self, state: FlowState, nsteps: int) -> FlowState:
+        """nsteps time steps as one ``lax.scan`` — one propagator apply."""
+
+        def body(st, _):
+            return self.step(st), None
+
+        out, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return out
+
+    def propagator(self, u0: jnp.ndarray, nsteps: int, time0: float = 0.0) -> jnp.ndarray:
+        """exp(T L)-style map on velocity fields: fresh state, integrate,
+        return final velocity (the reference's matvec shape)."""
+        st = initial_state(u0, time=time0, dtype=self.sem.dtype)
+        return self.advance(st, nsteps).u

@@ -1,0 +1,117 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from nekstab_next_tpu.krylov import (
+    Basis,
+    VectorSpace,
+    arnoldi_step,
+    eigs,
+    gmres,
+    svds,
+)
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def space():
+    return VectorSpace(dot=lambda a, b: jnp.vdot(a, b))
+
+
+def random_operator(seed=0, decay=0.9):
+    rng = np.random.default_rng(seed)
+    # well-separated leading spectrum incl. a complex pair
+    Q = sla.qr(rng.standard_normal((N, N)))[0]
+    blocks = [np.array([[0.95, 0.30], [-0.30, 0.95]])]  # |mu| ~ 0.996 pair
+    diag = [1.05, 0.85]
+    rest = decay * rng.uniform(0.0, 0.6, N - 4)
+    A = sla.block_diag(blocks[0], np.diag(diag), np.diag(rest))
+    A = Q @ A @ Q.T
+    return A
+
+
+def test_arnoldi_identity(space):
+    A = random_operator(1)
+    mv = lambda v: jnp.asarray(A) @ v
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.standard_normal(N))
+    k = 30
+    basis = Basis(space, x0, capacity=k + 1)
+    q0 = x0 / jnp.linalg.norm(x0)
+    basis.set(0, q0)
+    H = np.zeros((k + 1, k))
+    for j in range(k):
+        arnoldi_step(mv, space, basis, H, j)
+    Q = np.stack([np.asarray(basis.get(j)) for j in range(k + 1)], axis=1)
+    # AQ_k = Q_{k+1} H
+    err = np.linalg.norm(A @ Q[:, :k] - Q @ H) / np.linalg.norm(H)
+    assert err < 1e-12
+    # orthonormality audit (reference eigensolvers.f90:335-345)
+    G = Q.T @ Q
+    assert np.max(np.abs(G - np.eye(k + 1))) < 1e-12
+
+
+def test_eigs_matches_dense(space):
+    A = random_operator(3)
+    mv = lambda v: jnp.asarray(A) @ v
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.standard_normal(N))
+    res = eigs(mv, space, x0, k_dim=40, nev=4, tol=1e-9, max_restarts=60)
+    dense = np.sort_complex(sla.eigvals(A))[::-1]
+    dense = dense[np.argsort(-np.abs(dense))]
+    got = res.eigenvalues[:4]
+    for g in got:
+        assert np.min(np.abs(dense[:6] - g)) < 1e-7, (got, dense[:6])
+    assert np.all(res.residuals[:4] < 1e-9)
+    # verify an actual eigenpair: A x = mu x for the leading (real or pair)
+    re, im = res.mode(0)
+    mu = res.eigenvalues[0]
+    x = np.asarray(re) + 1j * np.asarray(im)
+    err = np.linalg.norm(A @ x - mu * x) / np.linalg.norm(x)
+    assert err < 1e-7
+
+
+def test_eigs_restart_path(space):
+    # small k_dim forces Krylov-Schur restarts
+    A = random_operator(5)
+    mv = lambda v: jnp.asarray(A) @ v
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(rng.standard_normal(N))
+    res = eigs(mv, space, x0, k_dim=16, nev=2, tol=1e-8, max_restarts=80)
+    assert len(res.history) > 1  # actually restarted
+    dense = sla.eigvals(A)
+    dense = dense[np.argsort(-np.abs(dense))]
+    for g in res.eigenvalues[:2]:
+        assert np.min(np.abs(dense[:4] - g)) < 1e-6
+
+
+def test_gmres_solves(space):
+    rng = np.random.default_rng(7)
+    A = np.eye(N) + 0.5 * rng.standard_normal((N, N)) / np.sqrt(N)
+    b = jnp.asarray(rng.standard_normal(N))
+    x, info = gmres(lambda v: jnp.asarray(A) @ v, space, b, k_dim=40,
+                    tol=1e-10, max_restarts=20)
+    assert info["converged"]
+    assert np.linalg.norm(A @ np.asarray(x) - np.asarray(b)) < 1e-8
+
+
+def test_svds_matches_dense(space):
+    rng = np.random.default_rng(8)
+    A = rng.standard_normal((N, N)) / np.sqrt(N)
+    U, s, Vt = sla.svd(A)
+    # spread the top singular values
+    s[0], s[1] = 3.0, 2.0
+    A = U @ np.diag(s) @ Vt
+    Aj = jnp.asarray(A)
+    direct = lambda v: Aj @ v
+    adjoint = lambda v: Aj.T @ v
+    x0 = jnp.asarray(rng.standard_normal(N))
+    res = svds(direct, adjoint, space, x0, nsv=2, k_dim=30, tol=1e-10)
+    assert np.allclose(res.sigma, [3.0, 2.0], atol=1e-7)
+    # left/right vectors consistent: A v = sigma u
+    for i in range(2):
+        av = A @ np.asarray(res.right[i])
+        su = res.sigma[i] * np.asarray(res.left[i])
+        assert np.linalg.norm(av - su) < 1e-6
