@@ -210,7 +210,7 @@ class SEM:
         ``glsc3(u, bm1s, v)`` (core/krylov_subspace.f90:26-60).  ``masked``
         uses the sponge-masked weight bm1s."""
         w = self.bms if masked else self.bm
-        return self._reduce(jnp.sum(u * v * w))
+        return self._reduce(jnp.sum(u * v * self._bc(w, u)))
 
     def norm(self, u: jnp.ndarray, masked: bool = True) -> jnp.ndarray:
         return jnp.sqrt(self.inner(u, u, masked=masked))

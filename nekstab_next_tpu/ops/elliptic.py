@@ -1,0 +1,85 @@
+"""Assembled SPD elliptic solves with exact transposability.
+
+The assembled operator of a naive masked direct-stiffness form,
+``mask . dssum . K_local``, is self-adjoint only in a multiplicity-weighted
+product — good enough for CG, but ``lax.custom_linear_solve(symmetric=True)``
+(which gives us exact jvp/transpose of every inner solve, and hence the exact
+discrete adjoint of the whole time step) requires *Euclidean* symmetry.
+
+We get it by conjugating with the Euclid-orthogonal projector onto the
+continuous-and-unmasked subspace:
+
+    P = mask . dsavg . mask        (dsavg = Q diag(1/mult) Q^T is symmetric)
+    A = P K_local P + (I - P)
+
+``A`` is Euclid-SPD, and on ``range(P)`` the system ``A x = P r_local`` is
+exactly the assembled Galerkin system (the diagonal scaling introduced by the
+averaging cancels between both sides).  This is the TPU-native equivalent of
+Nek5000's masked Helmholtz solves with ``vmult``-weighted CG dots."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from .cg import cg_solve
+
+
+def make_projector(sem, mask: jnp.ndarray) -> Callable:
+    def P(x):
+        return mask * sem.dsavg(mask * x)
+
+    return P
+
+
+def elliptic_solve(
+    sem,
+    local_op: Callable,
+    rhs_local: jnp.ndarray,
+    mask: jnp.ndarray,
+    tol: float,
+    maxiter: int,
+    diag_local: Optional[jnp.ndarray] = None,
+    project_mean: bool = False,
+):
+    """Solve the assembled system  (P local_op P) x = P rhs_local  by PCG
+    under ``lax.custom_linear_solve`` (symmetric, hence exactly transposable).
+
+    ``local_op``   : unassembled element-local SPD weak operator
+    ``rhs_local``  : unassembled local weak RHS (will be P-projected)
+    ``mask``       : 1 = free dof, 0 = Dirichlet (may carry component axes)
+    ``diag_local`` : local diagonal of ``local_op`` for Jacobi preconditioning
+    ``project_mean``: remove the constant nullspace (pure-Neumann Poisson)
+    """
+    P = make_projector(sem, mask)
+
+    def A(x):
+        Px = P(x)
+        return P(local_op(Px)) + (x - Px)
+
+    rhs = P(rhs_local)
+
+    dot = lambda a, b: sem._reduce(jnp.sum(a * b))
+
+    precond = None
+    if diag_local is not None:
+        dinv = 1.0 / sem.dssum(diag_local)
+        if dinv.ndim < rhs.ndim:
+            dinv = dinv.reshape(dinv.shape + (1,) * (rhs.ndim - dinv.ndim))
+
+        def precond(r):
+            Pr = P(r)
+            return P(dinv * Pr) + (r - Pr)
+
+    project = None
+    if project_mean:
+        ones = jnp.ones_like(rhs)
+        csq = dot(ones, ones)
+
+        def project(q):
+            return q - (dot(q, ones) / csq) * ones
+
+    return cg_solve(
+        A, rhs, precond=precond, tol=tol, maxiter=maxiter, dot=dot, project=project
+    )

@@ -1,0 +1,198 @@
+"""Linearized and adjoint exponential propagators.
+
+The reference implements three hand-written integrators on Nek's perturbation
+solver — ``forward_linearized_map``, ``adjoint_linearized_map`` and the
+Floquet orbit store/replay (core/matvec.f90:150-474, linear_operators.f90) —
+plus a finite-difference Frechet fallback.  Here all of them derive from the
+*nonlinear* discrete step by JAX transforms, so the tangent map is the exact
+Jacobian of the time-stepper and the adjoint is its exact transpose:
+
+* steady base: ``jax.linearize`` of the step at the frozen base state, done
+  once per BDF-ramp stage (k = 0, 1, 2), then a ``lax.scan`` over the BDF3
+  tangent map — cost one *linear* step per time step (no primal recompute),
+  exactly like the reference's perturbation solver;
+* adjoint: ``jax.linear_transpose`` of the whole tangent propagator, wrapped
+  with mass weights so it is the adjoint in the energy inner product
+  <u, v>_B (the product used by the reference's ``k_dot``,
+  core/krylov_subspace.f90:26-60):  M* = B^{-1} M^T B;
+* Floquet (periodic base): ``jax.linearize`` over the full nonlinear
+  trajectory — JAX's stored linearization residuals *are* the reference's
+  orbit arrays ``uor/vor/wor`` (core/matvec.f90:189-231), with
+  ``jax.checkpoint`` available to trade recompute for memory.
+
+Machine-precision adjoint consistency <Mq, w>_B = <q, M*w>_B is guaranteed by
+construction and asserted in tests (the reference could only check this
+approximately)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .navier_stokes import NavierStokes
+from .state import initial_state
+
+
+def _zeros_like(tree):
+    return jax.tree.map(jnp.zeros_like, tree)
+
+
+class LinearizedOperator:
+    """Tangent propagator  q -> D Phi_T(base) q  on velocity fields, around a
+    frozen steady base flow (the reference's ``exponential_prop``,
+    core/linear_operators.f90:17-23)."""
+
+    def __init__(
+        self,
+        ns: NavierStokes,
+        base_u: jnp.ndarray,
+        base_p: Optional[jnp.ndarray] = None,
+        nsteps: int = 100,
+        t0: float = 0.0,
+    ):
+        self.ns = ns
+        self.sem = ns.sem
+        self.nsteps = int(nsteps)
+        self.T = self.nsteps * ns.dt
+        s = ns.sem
+        base_u = base_u.astype(s.dtype)
+        if base_p is None:
+            base_p = jnp.zeros(base_u.shape[:-1], dtype=s.dtype)
+        E0 = ns._explicit_weak(base_u, jnp.asarray(t0, s.dtype))
+        base_fields = (
+            base_u,
+            base_p.astype(s.dtype),
+            jnp.stack([base_u, base_u]),
+            jnp.stack([E0, E0]),
+        )
+        # one linearization per BDF-ramp stage; residuals stored once
+        self._lin = []
+        for k in range(3):
+            _, lin_fn = jax.linearize(
+                partial(ns._core, time=jnp.asarray(t0, s.dtype), k=k), base_fields
+            )
+            self._lin.append(lin_fn)
+        self._template = base_fields
+        self._matvec = jax.jit(self._apply)
+        self._rmatvec = None  # built lazily (needs one transpose trace)
+
+    # -- direct --------------------------------------------------------
+    def _apply(self, q: jnp.ndarray) -> jnp.ndarray:
+        df = (
+            q,
+            jnp.zeros_like(self._template[1]),
+            jnp.zeros_like(self._template[2]),
+            jnp.zeros_like(self._template[3]),
+        )
+        n = self.nsteps
+        if n >= 1:
+            df = self._lin[0](df)
+        if n >= 2:
+            df = self._lin[1](df)
+        if n > 2:
+            def body(c, _):
+                return self._lin[2](c), None
+
+            df, _ = jax.lax.scan(body, df, None, length=n - 2)
+        return df[0]
+
+    def matvec(self, q: jnp.ndarray) -> jnp.ndarray:
+        """Direct map: one compiled propagator application (the hot loop of
+        SURVEY.md section 3.2)."""
+        return self._matvec(q)
+
+    # -- adjoint -------------------------------------------------------
+    def rmatvec(self, w: jnp.ndarray) -> jnp.ndarray:
+        """Adjoint in the energy product: M* = B^{-1} M^T B (B = mass)."""
+        if self._rmatvec is None:
+            bm = self.sem.bm[..., None]
+            transpose = jax.linear_transpose(self._apply, self._template[0])
+
+            def rmv(w_):
+                (ct,) = transpose(w_ * bm)
+                return ct / bm
+
+            self._rmatvec = jax.jit(rmv)
+        return self._rmatvec(w)
+
+
+class FloquetOperator:
+    """Tangent propagator around a *periodic* base orbit (the reference's
+    Floquet path: per-step orbit store/replay, core/matvec.f90:189-231,
+    ``ifstorebase`` in linear_operators.f90:133-146).
+
+    ``jax.linearize`` over the nonlinear trajectory stores the orbit as the
+    linearization residuals; ``remat`` wraps each step in ``jax.checkpoint``
+    so memory goes from O(nsteps) to O(sqrt-ish) with recompute."""
+
+    def __init__(
+        self,
+        ns: NavierStokes,
+        base_u: jnp.ndarray,
+        base_p: Optional[jnp.ndarray] = None,
+        nsteps: int = 100,
+        t0: float = 0.0,
+        remat: bool = True,
+    ):
+        self.ns = ns
+        self.sem = ns.sem
+        self.nsteps = int(nsteps)
+        self.T = self.nsteps * ns.dt
+        s = ns.sem
+
+        step = ns.step
+        if remat:
+            step = jax.checkpoint(step)
+
+        def prop(u0):
+            st = initial_state(u0, p=base_p, time=t0, dtype=s.dtype)
+
+            def body(c, _):
+                return step(c), None
+
+            out, _ = jax.lax.scan(body, st, None, length=self.nsteps)
+            return out.u
+
+        self._prop = prop
+        self._base_u = base_u.astype(s.dtype)
+        self._matvec = None
+        self._rmatvec = None
+
+    def _build(self):
+        if self._matvec is None:
+            primal, lin = jax.linearize(self._prop, self._base_u)
+            self.monodromy_drift = self.sem.norm(primal - self._base_u)
+            self._lin = lin
+            self._matvec = jax.jit(lin)
+        return self._matvec
+
+    def matvec(self, q):
+        return self._build()(q)
+
+    def rmatvec(self, w):
+        if self._rmatvec is None:
+            self._build()
+            bm = self.sem.bm[..., None]
+            transpose = jax.linear_transpose(self._lin, self._base_u)
+
+            def rmv(w_):
+                (ct,) = transpose(w_ * bm)
+                return ct / bm
+
+            self._rmatvec = jax.jit(rmv)
+        return self._rmatvec(w)
+
+
+def compute_dt_nsteps(
+    mesh, umax: float, horizon: float, target_cfl: float = 0.5, dt: Optional[float] = None
+) -> Tuple[float, int]:
+    """Constant dt + step count for a fixed horizon (the reference's
+    ``prepare_linearized_solver``: CFL-targeted dt, then nsteps =
+    ceil(T/dt) and dt = T/nsteps — core/matvec.f90:21-52)."""
+    if dt is None:
+        dt = target_cfl * mesh.min_spacing() / max(umax, 1e-12)
+    nsteps = max(int(-(-horizon // dt)), 1)
+    return horizon / nsteps, nsteps

@@ -33,6 +33,7 @@ import numpy as np
 from ..config import SolverConfig
 from ..ops.cg import cg_solve
 from ..ops.core import SEM
+from ..ops.elliptic import elliptic_solve
 from .state import FlowState, initial_state
 
 # BDFk / EXTk coefficients, index k-1 (padded to length 3)
@@ -88,13 +89,9 @@ class NavierStokes:
         self.sponge_ref = sponge_ref
         self._convect = s.convect_weak if solver.dealias else s.convect_colloc
 
-        # Jacobi preconditioners from assembled operator diagonals
-        kdiag = s.dssum(s.stiffness_diag())
-        bdiag = s.dssum(s.bm)
-        g0 = _BDF[3][0]  # preconditioner uses the steady-state coefficient
-        self._pinv_pressure = jnp.where(s.pmask > 0, 1.0 / kdiag, 1.0)
-        hd = (g0 / self.dt) * bdiag + self.nu * kdiag
-        self._pinv_helm = jnp.where(s.vmask > 0, 1.0 / hd[..., None], 1.0)
+        # local operator diagonal for Jacobi preconditioning (assembled
+        # inside elliptic_solve)
+        self._kdiag_local = s.stiffness_diag()
 
     # ------------------------------------------------------------------
     def _explicit_weak(self, u: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -162,47 +159,28 @@ class NavierStokes:
                 [s.helmholtz_local(w[..., d], self.nu, h2) for d in range(2)], axis=-1
             )
 
-        def A(w):
-            return vmask * s.dssum(helm_local(w)) + (1.0 - vmask) * w
-
-        rhs_h = vmask * s.dssum(rhs - helm_local(self.u_bc))
-        dot = s.cgdot
-        w = cg_solve(
-            A, rhs_h,
-            precond=lambda r: self._pinv_helm * r,
+        w = elliptic_solve(
+            s,
+            helm_local,
+            rhs - helm_local(self.u_bc),
+            vmask,
             tol=self.solver.velocity_tol,
             maxiter=self.solver.velocity_maxiter,
-            dot=dot,
+            diag_local=self.nu * self._kdiag_local + h2 * s.bm,
         )
         ustar = w + self.u_bc
 
         # ---- pressure-increment Poisson --------------------------------
-        pmask = s.pmask
-
-        def Ap(q):
-            return pmask * s.dssum(s.stiffness_local(q)) + (1.0 - pmask) * q
-
         divu = s.div(ustar[..., 0], ustar[..., 1])
-        rhs_p = -(g0 / dt) * pmask * s.dssum(s.bm * divu)
-
-        project = None
-        if not s.mesh.has_pressure_dirichlet:
-            # remove the constant nullspace, orthogonally in the CG product
-            ones = jnp.ones_like(rhs_p)
-            csq = s.cgdot(ones, ones)
-
-            def project(q):
-                return q - (s.cgdot(q, ones) / csq) * ones
-
-            rhs_p = project(rhs_p)
-
-        dp = cg_solve(
-            Ap, rhs_p,
-            precond=lambda r: self._pinv_pressure * r,
+        dp = elliptic_solve(
+            s,
+            s.stiffness_local,
+            -(g0 / dt) * s.bm * divu,
+            s.pmask,
             tol=self.solver.pressure_tol,
             maxiter=self.solver.pressure_maxiter,
-            dot=dot,
-            project=project,
+            diag_local=self._kdiag_local,
+            project_mean=not s.mesh.has_pressure_dirichlet,
         )
 
         # ---- projection / correction -----------------------------------
