@@ -1,0 +1,156 @@
+"""Newton-Krylov fixed points and unstable periodic orbits (UPOs).
+
+Rebuild of the reference's core/newton_krylov.f90:
+
+* outer Newton loop on  F(q) = Phi_T(q) - q  (:44-133) with the
+  time-stepper GMRES inner solve (``ts_gmres``, :170-299) on the Jacobian
+  J = D Phi_T - I;
+* UPOs (uparam 2.1): the period T joins the unknowns; the bordered Jacobian
+  gets the column  b = d Phi_T / dT  (time derivative of the flow at t = T,
+  the reference's ``compute_bvec`` one-step estimate, core/matvec.f90:575-613)
+  and the phase-condition row  <qdot(0), dq> = 0  (:550-563);
+* dynamic forcing of the GMRES tolerance from the current residual
+  (``spec_tole``, :408-435).
+
+TPU shape: the nonlinear map and the tangent map are two jit-compiled
+functions taking (q, dt) — no recompilation across Newton iterations even
+though the base flow and the UPO period change every step."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import NewtonConfig
+from ..krylov.gmres import gmres
+from ..krylov.vector import VectorSpace
+from ..stepper.linearized import make_tangent_propagator
+from ..stepper.navier_stokes import NavierStokes
+
+
+@dataclasses.dataclass
+class NewtonResult:
+    u: jnp.ndarray
+    p: jnp.ndarray
+    period: Optional[float]
+    residual: float
+    converged: bool
+    iterations: int
+    n_matvecs: int
+    history: list
+
+
+def _vspace(sem) -> VectorSpace:
+    def dot(a, b):
+        return (
+            sem.inner(a[..., 0], b[..., 0], masked=False)
+            + sem.inner(a[..., 1], b[..., 1], masked=False)
+        )
+
+    return VectorSpace(dot)
+
+
+def _vspace_upo(sem) -> VectorSpace:
+    """Augmented (velocity, period) vector space — the reference's
+    ``krylov_vector`` with its ``time`` component in the inner product
+    (core/krylov_subspace.f90:26-60)."""
+
+    def dot(a, b):
+        u, t = a
+        v, s = b
+        return (
+            sem.inner(u[..., 0], v[..., 0], masked=False)
+            + sem.inner(u[..., 1], v[..., 1], masked=False)
+            + t * s
+        )
+
+    return VectorSpace(dot)
+
+
+def newton_krylov(
+    ns: NavierStokes,
+    u0: jnp.ndarray,
+    horizon: float,
+    nsteps: int,
+    upo: bool = False,
+    cfg: NewtonConfig = NewtonConfig(),
+    k_dim: int = 64,
+    callback: Optional[Callable] = None,
+) -> NewtonResult:
+    """Solve Phi_T(q) = q (fixed point), or (Phi_T(q) = q, T) for a UPO.
+
+    For fixed points ``horizon`` is an arbitrary integration time (larger T
+    damps stable transients harder per Newton step); for UPOs it is the
+    initial period guess."""
+    s = ns.sem
+    q = u0.astype(s.dtype)
+    T = float(horizon)
+    dt = T / nsteps
+
+    prop = jax.jit(lambda u, dt_: ns.propagator(u, nsteps, dt=dt_))
+    prop1 = jax.jit(lambda u, dt_: ns.propagator(u, 1, dt=dt_))
+    tangent = make_tangent_propagator(ns, nsteps)
+
+    space = _vspace_upo(s) if upo else _vspace(s)
+    nmv_total = 0
+    history = []
+    res = np.inf
+    p_final = jnp.zeros(s.bm.shape, dtype=s.dtype)
+
+    for it in range(cfg.max_iter):
+        dt = T / nsteps
+        Phi = prop(q, dt)
+        F = Phi - q
+        res = float(jnp.sqrt(
+            s.inner(F[..., 0], F[..., 0], masked=False)
+            + s.inner(F[..., 1], F[..., 1], masked=False)
+        ))
+        history.append((it, res, T))
+        if callback is not None:
+            callback(it, res, T)
+        if not np.isfinite(res):
+            raise FloatingPointError(f"Newton residual not finite at iter {it}")
+        if res < cfg.tol:
+            return NewtonResult(q, p_final, T if upo else None, res, True, it,
+                                nmv_total, history)
+
+        # dynamic GMRES tolerance (reference spec_tole: tol = res/100,
+        # floored at the user tolerance, capped at 1e-4)
+        gtol = min(max(res / 100.0, cfg.tol), 1e-4) if cfg.dynamic_tol else cfg.tol
+
+        if upo:
+            # bordered system: J (dq, dT) = (-F, 0)
+            bvec = (prop1(Phi, dt) - Phi) / dt  # d Phi_T / dT ~ u_dot(T)
+            qdot0 = (prop1(q, dt) - q) / dt  # phase direction at t=0
+
+            def J(x):
+                dq, dT = x
+                Mdq = tangent(q, p_final, dq, dt)
+                phase = (
+                    s.inner(qdot0[..., 0], dq[..., 0], masked=False)
+                    + s.inner(qdot0[..., 1], dq[..., 1], masked=False)
+                )
+                return (Mdq - dq + dT * bvec, phase)
+
+            rhs = (-F, jnp.asarray(0.0, s.dtype))
+            x0 = (jnp.zeros_like(q), jnp.asarray(0.0, s.dtype))
+            sol, info = gmres(J, space, rhs, x0=x0, k_dim=k_dim, tol=gtol,
+                              max_restarts=cfg.gmres_restarts)
+            dq, dT = sol
+            q = q + dq
+            T = float(T + float(dT))
+        else:
+            def J(dq):
+                return tangent(q, p_final, dq, dt) - dq
+
+            sol, info = gmres(J, space, -F, k_dim=k_dim, tol=gtol,
+                              max_restarts=cfg.gmres_restarts)
+            q = q + sol
+        nmv_total += info["iterations"] + 2
+
+    return NewtonResult(q, p_final, T if upo else None, res, False,
+                        cfg.max_iter, nmv_total, history)

@@ -1,0 +1,303 @@
+"""Resolvent (forced-response) analysis via the time-stepper formulation.
+
+Rebuild of the reference's ``resolvent_solver`` + ``resolvent_analysis``
+(core/linear_operators.f90:312-431, core/linear_stab.f90:121-163):
+
+For forcing  f(t) = Re(fhat e^{i omega t})  around a steady base flow, the
+periodic response  u(t) = Re(uhat e^{i omega t})  with  uhat = R(omega) fhat
+is obtained matrix-free over one period T = 2 pi / omega:
+
+1. particular solution  b = integral_0^T exp((T-s) L) f(s) ds  — integrate
+   the *forced* linearized equations from zero over one period;
+2. periodicity solve  (I - exp(T L)) x = b  by GMRES  ->  x = Re(uhat);
+3. quarter-period propagation of the periodic response gives the imaginary
+   part:  u_p(T/4) = Re(uhat i) = -Im(uhat)  (the reference's phase trick,
+   linear_operators.f90:418-423).
+
+Complex fields are (re, im) velocity pairs (the reference's
+``cmplx_nek_vector``, core/nek_vectors.f90:33-42).  The adjoint resolvent —
+which the reference assembles from its hand-written adjoint solver — is here
+just ``jax.linear_transpose`` of the entire real-linear map, wrapped with
+mass weights."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..krylov.gmres import gmres
+from ..krylov.svd import svds
+from ..krylov.vector import VectorSpace
+from ..stepper.navier_stokes import NavierStokes
+from ..utils.noise import velocity_noise
+
+
+def _complex_space(sem) -> VectorSpace:
+    def dot(a, b):
+        (ar, ai), (br, bi) = a, b
+        return (
+            sem.inner(ar[..., 0], br[..., 0]) + sem.inner(ar[..., 1], br[..., 1])
+            + sem.inner(ai[..., 0], bi[..., 0]) + sem.inner(ai[..., 1], bi[..., 1])
+        )
+
+    return VectorSpace(dot)
+
+
+@dataclasses.dataclass
+class ResolventResult:
+    omega: float
+    sigma: np.ndarray  # resolvent gains
+    forcing_modes: List  # (re, im) pairs
+    response_modes: List
+    n_matvecs: int
+
+
+class ResolventOperator:
+    """Matrix-free R(omega) on (re, im) velocity pairs around a steady base."""
+
+    def __init__(
+        self,
+        ns: NavierStokes,
+        base_u: jnp.ndarray,
+        omega: float,
+        base_p: Optional[jnp.ndarray] = None,
+        steps_per_period: int = 128,
+        gmres_kdim: int = 64,
+        gmres_tol: float = 1e-8,
+    ):
+        assert steps_per_period % 4 == 0, "need T/4 to land on a step"
+        self.ns = ns
+        self.sem = ns.sem
+        self.omega = float(omega)
+        self.T = 2.0 * np.pi / self.omega
+        self.nsteps = int(steps_per_period)
+        self.dt = self.T / self.nsteps
+        self.gmres_kdim = gmres_kdim
+        self.gmres_tol = gmres_tol
+        s = ns.sem
+
+        base_u = base_u.astype(s.dtype)
+        base_p = (
+            jnp.zeros(base_u.shape[:-1], dtype=s.dtype) if base_p is None else base_p.astype(s.dtype)
+        )
+        E0 = ns._explicit_weak(base_u, jnp.asarray(0.0, s.dtype))
+        base_fields = (base_u, base_p, jnp.stack([base_u, base_u]), jnp.stack([E0, E0]))
+        zero_fc = jnp.zeros_like(base_u)
+
+        # linearize each ramp stage jointly in (state, forcing)
+        self._lin = [
+            jax.linearize(
+                partial(self._core_fc, k=k), base_fields, zero_fc
+            )[1]
+            for k in range(3)
+        ]
+        self._zero_tail = (
+            jnp.zeros_like(base_fields[1]),
+            jnp.zeros_like(base_fields[2]),
+            jnp.zeros_like(base_fields[3]),
+        )
+        self._matvec_c = jax.jit(self._apply)
+        self._rmatvec_c = None
+        self.n_matvecs = 0
+        # The periodicity operator I - M is singular on neutral modes of the
+        # propagator (e.g. the constant mode of a fully periodic box, mu=1).
+        # Deflate them so both GMRES paths pick the same representative.
+        self._deflate_mean = not ns.sem.has_pressure_dirichlet and not bool(
+            np.any(np.asarray(ns.sem.vmask) == 0.0)
+        )
+
+    def _deflate(self, u):
+        if not self._deflate_mean:
+            return u
+        s = self.sem
+        vol = s.volume()
+        mean = jnp.stack(
+            [s.glsum(u[..., d] * s.bm) / vol for d in range(2)], axis=-1
+        )
+        return u - mean  # (2,) broadcasts over the trailing component axis
+
+    def _core_fc(self, fields, fc, k):
+        return self.ns._core(fields, jnp.asarray(0.0, self.sem.dtype), k, fc=fc, dt=self.dt)
+
+    # -- forced tangent integration ------------------------------------
+    def _integrate(self, q0, f_re, f_im, nsteps):
+        """Integrate the forced linearized equations for ``nsteps`` steps
+        from initial perturbation q0 with forcing Re(fhat e^{i omega t})."""
+        dtype = self.sem.dtype
+        df = (q0,) + self._zero_tail
+        zero_fc = jnp.zeros_like(q0)
+
+        def fc_at(n):
+            ph = self.omega * self.dt * n
+            return f_re * jnp.cos(ph) - f_im * jnp.sin(ph)
+
+        if nsteps >= 1:
+            df = self._lin[0](df, fc_at(0))
+        if nsteps >= 2:
+            df = self._lin[1](df, fc_at(1))
+        if nsteps > 2:
+            def body(c, n):
+                return self._lin[2](c, fc_at(n)), None
+
+            df, _ = jax.lax.scan(body, df, jnp.arange(2, nsteps))
+        return df[0]
+
+    # -- R(omega) --------------------------------------------------------
+    def _apply(self, fpair):
+        f_re, f_im = fpair
+        zero = jnp.zeros_like(f_re)
+        # particular solution over one period from rest
+        b = self._integrate(zero, f_re, f_im, self.nsteps)
+        return b
+
+    def _homogeneous(self, q):
+        zero = jnp.zeros_like(q)
+        return self._integrate(q, zero, zero, self.nsteps)
+
+    def matvec(self, fpair) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """uhat = R(omega) fhat  as an (re, im) pair."""
+        s = self.sem
+        b = self._matvec_c(fpair)
+        space = VectorSpace(
+            lambda a, c: s.inner(a[..., 0], c[..., 0]) + s.inner(a[..., 1], c[..., 1])
+        )
+        if not hasattr(self, "_hom_jit"):
+            self._hom_jit = jax.jit(self._homogeneous)
+
+        def A(x):
+            return self._deflate(x - self._hom_jit(x))
+
+        b = self._deflate(b)
+        x, info = gmres(
+            A, space, b, k_dim=self.gmres_kdim, tol=self.gmres_tol,
+            max_restarts=20,
+        )
+        x = self._deflate(x)
+        self.n_matvecs += info["iterations"] + 1
+        # quarter-period forced propagation for the imaginary part
+        f_re, f_im = fpair
+        if not hasattr(self, "_quarter_jit"):
+            self._quarter_jit = jax.jit(
+                lambda q, fr, fi: self._integrate(q, fr, fi, self.nsteps // 4)
+            )
+        x4 = self._quarter_jit(x, f_re, f_im)
+        return (x, -x4)
+
+    def rmatvec(self, upair):
+        """Adjoint resolvent in the energy product: mechanical transpose of
+        the whole (re, im) -> (re, im) map wrapped with mass weights."""
+        if self._rmatvec_c is None:
+            bm = self.sem.bm[..., None]
+            example = (jnp.zeros_like(upair[0]), jnp.zeros_like(upair[1]))
+            transpose = jax.linear_transpose(self.matvec_pure, example)
+
+            def rmv(up):
+                ur, ui = up
+                (ct,) = transpose((ur * bm, ui * bm))
+                return (ct[0] / bm, ct[1] / bm)
+
+            self._rmatvec_c = rmv
+        return self._rmatvec_c(upair)
+
+    def matvec_pure(self, fpair):
+        """Purely functional version of matvec (for transposition): GMRES is
+        replaced by a fixed-iteration linear solve via the Neumann-free
+        formulation — we instead expose the same computation through
+        lax.custom_linear_solve so transpose re-solves (I - M)^T."""
+        f_re, f_im = fpair
+        b = self._deflate(self._apply(fpair))
+        s = self.sem
+
+        def A(x):
+            return self._deflate(x - self._homogeneous(x))
+
+        from ..ops.cg import pcg
+
+        def solve(mv, rhs):
+            # (I - M) is nonsymmetric: use GMRES-in-jit via simple Richardson
+            # -> replaced by pcg on normal equations would square cond.; use
+            # fixed-restart classical GMRES implemented with lax primitives.
+            return _gmres_device(mv, rhs, s, k_dim=self.gmres_kdim, restarts=8)
+
+        def tsolve(mv, rhs):
+            return _gmres_device(mv, rhs, s, k_dim=self.gmres_kdim, restarts=8)
+
+        x = jax.lax.custom_linear_solve(
+            A, b, solve, transpose_solve=tsolve
+        )
+        x4 = self._integrate(x, f_re, f_im, self.nsteps // 4)
+        return (x, -x4)
+
+
+def _gmres_device(matvec, b, sem, k_dim: int = 40, restarts: int = 4):
+    """Small fully-on-device restarted GMRES (needed under
+    custom_linear_solve where host callbacks are unavailable)."""
+    dot = lambda a, c: sem.inner(a[..., 0], c[..., 0], masked=False) + sem.inner(
+        a[..., 1], c[..., 1], masked=False
+    )
+
+    def one_restart(x):
+        r = b - matvec(x)
+        beta = jnp.sqrt(dot(r, r))
+        q0 = r / jnp.maximum(beta, 1e-300)
+        Q = jnp.zeros((k_dim + 1,) + b.shape, b.dtype).at[0].set(q0)
+        H = jnp.zeros((k_dim + 1, k_dim), b.dtype)
+
+        def arn(carry, j):
+            Q, H = carry
+            w = matvec(Q[j])
+            h = jax.vmap(lambda q: dot(q, w))(Q)
+            mask = (jnp.arange(k_dim + 1) <= j).astype(b.dtype)
+            h = h * mask
+            w = w - jnp.tensordot(h, Q, axes=(0, 0))
+            hb = jnp.sqrt(dot(w, w))
+            Q = Q.at[j + 1].set(w / jnp.maximum(hb, 1e-300))
+            H = H.at[:, j].set(h).at[j + 1, j].set(hb)
+            return (Q, H), None
+
+        (Q, H), _ = jax.lax.scan(arn, (Q, H), jnp.arange(k_dim))
+        e1 = jnp.zeros(k_dim + 1, b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return x + jnp.tensordot(jnp.concatenate([y, jnp.zeros(1, b.dtype)]), Q, axes=(0, 0))
+
+    x = jnp.zeros_like(b)
+    for _ in range(restarts):
+        x = one_restart(x)
+    return x
+
+
+def resolvent_analysis(
+    ns: NavierStokes,
+    base_u: jnp.ndarray,
+    omega: float,
+    base_p: Optional[jnp.ndarray] = None,
+    nsv: int = 1,
+    k_dim: int = 20,
+    tol: float = 1e-6,
+    steps_per_period: int = 128,
+    seed: int = 1234,
+) -> ResolventResult:
+    """Leading resolvent gains/modes at frequency ``omega`` (reference
+    core/linear_stab.f90:121-163)."""
+    op = ResolventOperator(
+        ns, base_u, omega, base_p=base_p, steps_per_period=steps_per_period
+    )
+    space = _complex_space(ns.sem)
+    x0r = velocity_noise(ns.sem, seed=seed)
+    x0i = velocity_noise(ns.sem, seed=seed + 1)
+    res = svds(
+        op.matvec_pure, op.rmatvec, space, (x0r, x0i), nsv=nsv, k_dim=k_dim,
+        tol=tol,
+    )
+    return ResolventResult(
+        omega=omega,
+        sigma=res.sigma,
+        forcing_modes=res.right,
+        response_modes=res.left,
+        n_matvecs=res.n_matvecs,
+    )

@@ -1,0 +1,162 @@
+"""Library-style stability analyses (the reference's new LightKrylov API).
+
+Rebuilds core/linear_stab.f90:
+
+* ``linear_stability_analysis(mode='direct'|'adjoint', floquet=...)`` —
+  Krylov-Schur on the exponential propagator (:12-80), eigenvalues reported
+  both in the propagator plane (mu) and log-mapped to the NS plane
+  lambda = log(mu)/T (the reference's ``log_transform``,
+  core/eigensolvers.f90:860-869);
+* ``transient_growth_analysis`` — optimal gain G(T) = sigma^2 via singular
+  triplets of the propagator (:82-119), the composite adjoint(direct(.))
+  being the reference's ``transient_growth_map`` (core/matvec.f90:478-495);
+* ``resolvent_analysis`` — forced-response gains (see resolvent.py).
+
+The orthogonalization inner product is the sponge-masked energy product
+<u,v>_{bm1s} exactly as the reference's ``k_dot`` (core/krylov_subspace.f90:
+26-60 with the bm1s weight zeroed in the sponge, core/forcing.f90:100-104).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..krylov.krylov_schur import EigenResult, eigs
+from ..krylov.svd import SVDResult, svds
+from ..krylov.vector import VectorSpace
+from ..stepper.linearized import FloquetOperator, LinearizedOperator
+from ..stepper.navier_stokes import NavierStokes
+from ..utils.noise import velocity_noise
+
+
+def velocity_space(sem, masked: bool = True) -> VectorSpace:
+    """Energy inner product over velocity fields (the reference's k_dot)."""
+
+    def dot(a, b):
+        return (
+            sem.inner(a[..., 0], b[..., 0], masked=masked)
+            + sem.inner(a[..., 1], b[..., 1], masked=masked)
+        )
+
+    return VectorSpace(dot)
+
+
+@dataclasses.dataclass
+class StabilityResult:
+    mu: np.ndarray  # propagator-plane eigenvalues (complex)
+    lam: np.ndarray  # NS-plane rates lambda = log(mu)/T
+    residuals: np.ndarray
+    modes: List[Tuple[jnp.ndarray, jnp.ndarray]]  # (re, im) velocity fields
+    horizon: float
+    n_matvecs: int
+    eigresult: EigenResult
+
+    def leading(self, i: int = 0) -> complex:
+        return complex(self.lam[i])
+
+
+def _make_operator(ns, base_u, base_p, nsteps, floquet):
+    if floquet:
+        return FloquetOperator(ns, base_u, base_p=base_p, nsteps=nsteps)
+    return LinearizedOperator(ns, base_u, base_p=base_p, nsteps=nsteps)
+
+
+def linear_stability_analysis(
+    ns: NavierStokes,
+    base_u: jnp.ndarray,
+    horizon: float,
+    nsteps: int,
+    base_p: Optional[jnp.ndarray] = None,
+    mode: str = "direct",
+    floquet: bool = False,
+    k_dim: int = 100,
+    nev: int = 2,
+    tol: float = 1e-6,
+    schur_del: float = 0.10,
+    max_restarts: int = 50,
+    seed: int = 1234,
+    x0: Optional[jnp.ndarray] = None,
+    nmodes_out: Optional[int] = None,
+) -> StabilityResult:
+    """Leading direct/adjoint eigenmodes of the linearized flow.
+
+    ``mode='adjoint'`` runs Krylov-Schur on the adjoint propagator (the
+    reference's transpose flag to ``eigs``, core/linear_stab.f90:66)."""
+    op = _make_operator(ns, base_u, base_p, nsteps, floquet)
+    matvec = op.matvec if mode == "direct" else op.rmatvec
+    space = velocity_space(ns.sem)
+    if x0 is None:
+        x0 = velocity_noise(ns.sem, seed=seed)
+    res = eigs(
+        matvec, space, x0, k_dim=k_dim, nev=nev, tol=tol,
+        schur_del=schur_del, max_restarts=max_restarts,
+    )
+    T = op.T
+    lam = np.log(res.eigenvalues.astype(np.complex128)) / T
+    nout = min(nmodes_out if nmodes_out is not None else nev, res.k)
+    modes = []
+    for i in range(nout):
+        re, im = res.mode(i)
+        nrm = float(np.sqrt(space.dot(re, re) + space.dot(im, im)))
+        modes.append((re / nrm, im / nrm))
+    return StabilityResult(
+        mu=res.eigenvalues,
+        lam=lam,
+        residuals=res.residuals,
+        modes=modes,
+        horizon=T,
+        n_matvecs=res.n_matvecs,
+        eigresult=res,
+    )
+
+
+@dataclasses.dataclass
+class TransientGrowthResult:
+    gains: np.ndarray  # G(T) = sigma^2
+    sigma: np.ndarray
+    optimal_inputs: List[jnp.ndarray]  # right singular vectors
+    optimal_responses: List[jnp.ndarray]  # left singular vectors
+    horizon: float
+    n_matvecs: int
+
+
+def transient_growth_analysis(
+    ns: NavierStokes,
+    base_u: jnp.ndarray,
+    horizon: float,
+    nsteps: int,
+    base_p: Optional[jnp.ndarray] = None,
+    floquet: bool = False,
+    nsv: int = 2,
+    k_dim: int = 64,
+    tol: float = 1e-6,
+    seed: int = 1234,
+    x0: Optional[jnp.ndarray] = None,
+) -> TransientGrowthResult:
+    """Optimal energy growth over ``horizon``: G = sigma(exp(T L))^2
+    (reference core/linear_stab.f90:82-119; Barkley et al. 2008 benchmark)."""
+    op = _make_operator(ns, base_u, base_p, nsteps, floquet)
+    space = velocity_space(ns.sem)
+    if x0 is None:
+        x0 = velocity_noise(ns.sem, seed=seed)
+    res = svds(
+        op.matvec, op.rmatvec, space, x0, nsv=nsv, k_dim=k_dim, tol=tol,
+    )
+    return TransientGrowthResult(
+        gains=res.sigma**2,
+        sigma=res.sigma,
+        optimal_inputs=res.right,
+        optimal_responses=res.left,
+        horizon=op.T,
+        n_matvecs=res.n_matvecs,
+    )
+
+
+def resolvent_analysis(*args, **kwargs):
+    from .resolvent import resolvent_analysis as _ra
+
+    return _ra(*args, **kwargs)

@@ -94,6 +94,39 @@ class SEM:
 
         # number of devices sharing the element axis (set by parallel wrapper)
         self.num_shards = 1
+        # light metadata used device-side (so a shard view needs no Mesh2D)
+        self.has_pressure_dirichlet = mesh.has_pressure_dirichlet
+
+    # ------------------------------------------------------------------
+    # sharding support
+    # ------------------------------------------------------------------
+    _ELEM_FIELDS = (
+        "rx", "ry", "sx", "sy", "jac", "bm", "bms", "sponge",
+        "g11", "g12", "g22", "vmask", "pmask", "tmask",
+        "binv_assembled", "inv_mult",
+        "jac_d", "rx_d", "ry_d", "sx_d", "sy_d",
+    )
+
+    def elem_arrays(self) -> dict:
+        """Per-element array pytree (leading axis = element, the sharded
+        axis).  ``gid`` is reshaped to (nelem, n, n) for sharding."""
+        d = {k: getattr(self, k) for k in self._ELEM_FIELDS}
+        d["gid"] = self.gid.reshape(self.nelem, self.n, self.n)
+        return d
+
+    def shard_view(self, elem_arrays: dict, axis_name: str) -> "SEM":
+        """Shallow view of this SEM with per-element arrays replaced by the
+        given (device-local) slices and collectives enabled on ``axis_name``.
+        Used inside ``shard_map``; all host-precomputed small operators
+        (D, dealiasing matrices) are shared."""
+        v = object.__new__(SEM)
+        v.__dict__.update(self.__dict__)
+        for k in self._ELEM_FIELDS:
+            setattr(v, k, elem_arrays[k])
+        v.gid = elem_arrays["gid"].reshape(-1)
+        v.nelem = elem_arrays["gid"].shape[0]
+        v.axis_name = axis_name
+        return v
 
     # ------------------------------------------------------------------
     # gather-scatter

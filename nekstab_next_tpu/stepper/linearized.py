@@ -186,6 +186,53 @@ class FloquetOperator:
         return self._rmatvec(w)
 
 
+def make_tangent_propagator(ns: NavierStokes, nsteps: int):
+    """Jit-cacheable tangent propagator  (base_u, base_p, q, dt) -> M q.
+
+    Unlike :class:`LinearizedOperator` (which closes over a fixed base), the
+    base flow and dt are runtime arguments, so Newton-Krylov re-linearizes
+    around the updated state every outer iteration *without recompiling*
+    (the reference instead re-runs its perturbation solver setup,
+    core/newton_krylov.f90:72).  ``jax.linearize`` runs inside the jit: the
+    primal (3 ramp-stage step solves) is traced once and its residuals are
+    loop-invariant constants of the tangent scan."""
+    s = ns.sem
+
+    def apply(base_u, base_p, q, dt):
+        E0 = ns._explicit_weak(base_u, jnp.asarray(0.0, s.dtype))
+        base_fields = (
+            base_u,
+            base_p,
+            jnp.stack([base_u, base_u]),
+            jnp.stack([E0, E0]),
+        )
+        lins = [
+            jax.linearize(
+                partial(ns._core, time=jnp.asarray(0.0, s.dtype), k=k, dt=dt),
+                base_fields,
+            )[1]
+            for k in range(min(nsteps, 3))
+        ]
+        df = (
+            q,
+            jnp.zeros_like(base_fields[1]),
+            jnp.zeros_like(base_fields[2]),
+            jnp.zeros_like(base_fields[3]),
+        )
+        if nsteps >= 1:
+            df = lins[0](df)
+        if nsteps >= 2:
+            df = lins[1](df)
+        if nsteps > 2:
+            def body(c, _):
+                return lins[2](c), None
+
+            df, _ = jax.lax.scan(body, df, None, length=nsteps - 2)
+        return df[0]
+
+    return jax.jit(apply)
+
+
 def compute_dt_nsteps(
     mesh, umax: float, horizon: float, target_cfl: float = 0.5, dt: Optional[float] = None
 ) -> Tuple[float, int]:

@@ -94,8 +94,13 @@ class NavierStokes:
         self._kdiag_local = s.stiffness_diag()
 
     # ------------------------------------------------------------------
-    def _explicit_weak(self, u: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        """Weak explicit terms E = -C(u)u + B f(u,t) (local, unassembled)."""
+    def _explicit_weak(self, u: jnp.ndarray, t: jnp.ndarray, fc=None) -> jnp.ndarray:
+        """Weak explicit terms E = -C(u)u + B f(u,t) + B fc (local form).
+
+        ``fc`` is an explicit pointwise acceleration field — the equivalent of
+        the reference's accumulated forcing arrays ``fcx/fcy`` applied through
+        the ``userf`` hook (core/forcing.f90:2-33); SFD/TDF/BoostConv and the
+        resolvent's harmonic forcing inject through it."""
         s = self.sem
         conv = jnp.stack(
             [self._convect(u[..., 0], u[..., 1], u[..., d]) for d in range(2)], axis=-1
@@ -107,20 +112,28 @@ class NavierStokes:
             E = E + bm * lam * (self.sponge_ref - u)
         if self.forcing is not None:
             E = E + bm * self.forcing(u, t)
+        if fc is not None:
+            E = E + bm * fc
         return E
 
     # ------------------------------------------------------------------
-    def step(self, state: FlowState) -> FlowState:
-        """Advance one time step (pure function; jvp/transpose-safe)."""
+    def step(self, state: FlowState, fc=None, dt=None) -> FlowState:
+        """Advance one time step (pure function; jvp/transpose-safe).
+
+        ``dt`` optionally overrides the constructor time step (may be a
+        traced scalar — lets UPO Newton vary the period without recompiling,
+        the reference instead recomputes nsteps host-side each iteration,
+        core/newton_krylov.f90:72)."""
         k = jnp.minimum(state.step, 2)  # 0,1,2 -> BDF1,2,3
         fields = (state.u, state.p, state.ulag, state.nlag)
-        u, p, ulag, nlag = self._core(fields, state.time, k)
+        u, p, ulag, nlag = self._core(fields, state.time, k, fc=fc, dt=dt)
+        dt_ = self.dt if dt is None else dt
         return FlowState(
             u=u, p=p, ulag=ulag, nlag=nlag,
-            time=state.time + self.dt, step=state.step + 1,
+            time=state.time + dt_, step=state.step + 1,
         )
 
-    def _core(self, fields: Tuple, time, k) -> Tuple:
+    def _core(self, fields: Tuple, time, k, fc=None, dt=None) -> Tuple:
         """One step on the raw field tuple (u, p, ulag, nlag).
 
         ``k`` selects the BDF/EXT order (0,1,2 -> BDF1,2,3); it may be a
@@ -129,7 +142,8 @@ class NavierStokes:
         so the startup ramp is frozen into three compiled tangent maps."""
         u0, p0, ulag0, nlag0 = fields
         s = self.sem
-        dt = self.dt
+        if dt is None:
+            dt = self.dt
 
         g0s = jnp.asarray([_BDF[1][0], _BDF[2][0], _BDF[3][0]], dtype=s.dtype)
         bdfs = jnp.asarray([_BDF[1][1], _BDF[2][1], _BDF[3][1]], dtype=s.dtype)
@@ -138,7 +152,7 @@ class NavierStokes:
         b = bdfs[k]
         a = exts[k]
 
-        E0 = self._explicit_weak(u0, time)
+        E0 = self._explicit_weak(u0, time, fc=fc)
         bm = s.bm[..., None]
 
         # weak RHS for the Helmholtz solve
@@ -180,7 +194,7 @@ class NavierStokes:
             tol=self.solver.pressure_tol,
             maxiter=self.solver.pressure_maxiter,
             diag_local=self._kdiag_local,
-            project_mean=not s.mesh.has_pressure_dirichlet,
+            project_mean=not s.has_pressure_dirichlet,
         )
 
         # ---- projection / correction -----------------------------------
@@ -198,17 +212,17 @@ class NavierStokes:
         )
 
     # ------------------------------------------------------------------
-    def advance(self, state: FlowState, nsteps: int) -> FlowState:
+    def advance(self, state: FlowState, nsteps: int, dt=None) -> FlowState:
         """nsteps time steps as one ``lax.scan`` — one propagator apply."""
 
         def body(st, _):
-            return self.step(st), None
+            return self.step(st, dt=dt), None
 
         out, _ = jax.lax.scan(body, state, None, length=nsteps)
         return out
 
-    def propagator(self, u0: jnp.ndarray, nsteps: int, time0: float = 0.0) -> jnp.ndarray:
+    def propagator(self, u0: jnp.ndarray, nsteps: int, time0: float = 0.0, dt=None) -> jnp.ndarray:
         """exp(T L)-style map on velocity fields: fresh state, integrate,
         return final velocity (the reference's matvec shape)."""
         st = initial_state(u0, time=time0, dtype=self.sem.dtype)
-        return self.advance(st, nsteps).u
+        return self.advance(st, nsteps, dt=dt).u
