@@ -1,0 +1,195 @@
+"""Runtime diagnostics: global invariants, aerodynamic forces, period
+tracking, and step monitoring (reference core/utils.f90: energy/enstrophy
+series :647-716, ``nekStab_torque``/``drgtrq`` :718-879, ``zero_crossing``
+:897-968, ``nekStab_comment`` CFL guard + ETA :538-598)."""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.gll import diff_matrix, gll_points_weights
+from ..mesh.mesh import BoundaryCondition as BC, Mesh2D, edge_node_indices
+from ..postproc.vortex import velocity_gradient
+
+
+# ----------------------------------------------------------------------
+def total_energy(sem, u: jnp.ndarray) -> jnp.ndarray:
+    """E = 1/2 int |u|^2 (written to total_energy.dat by the reference)."""
+    return 0.5 * sum(
+        sem.glsum(sem.bm * u[..., d] ** 2) for d in range(u.shape[-1])
+    )
+
+
+def total_enstrophy(sem, u: jnp.ndarray) -> jnp.ndarray:
+    """Z = 1/2 int |curl u|^2 (2-D: scalar vorticity)."""
+    w = sem.dsavg(sem.curl(u[..., 0], u[..., 1]))
+    return 0.5 * sem.glsum(sem.bm * w * w)
+
+
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class BoundaryQuadrature:
+    """Precomputed edge quadrature on a set of boundary edges: gather indices
+    into (nelem, n, n) fields plus arc-length weights and body-outward unit
+    normals (pointing from the body INTO the fluid)."""
+
+    elems: np.ndarray  # (nedges,)
+    ii: np.ndarray  # (nedges, n) i-index of each edge node
+    jj: np.ndarray  # (nedges, n)
+    ds: np.ndarray  # (nedges, n) arclength quadrature weight
+    normal: np.ndarray  # (nedges, n, 2) unit normal into the fluid
+
+
+def boundary_quadrature(
+    mesh: Mesh2D,
+    tags: Sequence[BC] = (BC.WALL,),
+    region=None,
+) -> BoundaryQuadrature:
+    """Build surface quadrature over all edges tagged in ``tags``; ``region``
+    optionally filters by edge-midpoint predicate ``f(x, y) -> bool`` (the
+    reference's object machinery selects which walls form the body,
+    utils.f90:881-895)."""
+    n = mesh.n
+    D1 = diff_matrix(n)
+    _, w1 = gll_points_weights(n)
+    tags = set(tags)
+
+    elems, iis, jjs, dss, nrms = [], [], [], [], []
+    for e in range(mesh.nelem):
+        cx, cy = mesh.x[e].mean(), mesh.y[e].mean()
+        for edge in range(4):
+            if mesh.edge_bc[e, edge] not in tags:
+                continue
+            ii, jj = edge_node_indices(edge, n)
+            ex, ey = mesh.x[e, ii, jj], mesh.y[e, ii, jj]
+            if region is not None and not region(ex.mean(), ey.mean()):
+                continue
+            tx, ty = D1 @ ex, D1 @ ey  # tangent d(x,y)/ds along the edge
+            tnorm = np.hypot(tx, ty)
+            ds = tnorm * w1
+            # normal candidate = rotate tangent; orient toward element
+            # interior = into the fluid (body-outward)
+            nx, ny = ty / tnorm, -tx / tnorm
+            sgn = np.sign((cx - ex) * nx + (cy - ey) * ny)
+            sgn[sgn == 0] = 1.0
+            nx, ny = nx * sgn, ny * sgn
+            elems.append(e)
+            iis.append(ii)
+            jjs.append(jj)
+            dss.append(ds)
+            nrms.append(np.stack([nx, ny], axis=-1))
+
+    if not elems:
+        raise ValueError(f"no boundary edges with tags {tags}")
+    return BoundaryQuadrature(
+        elems=np.asarray(elems),
+        ii=np.asarray(iis),
+        jj=np.asarray(jjs),
+        ds=np.asarray(dss),
+        normal=np.asarray(nrms),
+    )
+
+
+def surface_force_and_torque(
+    sem,
+    bq: BoundaryQuadrature,
+    u: jnp.ndarray,
+    p: jnp.ndarray,
+    viscosity: float,
+    center: Tuple[float, float] = (0.0, 0.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(Fx, Fy, Mz): force and torque exerted BY the fluid ON the body
+    bounded by the quadrature edges (reference ``nekStab_torque`` ->
+    lift_drag.dat).  t_i = [-p delta_ij + nu (du_i/dx_j + du_j/dx_i)] n_j
+    with n pointing from the body into the fluid."""
+    G = velocity_gradient(sem, u)  # du_a/dx_b, C0-smoothed
+    el = bq.elems
+
+    def gather(f):
+        return f[el[:, None], bq.ii, bq.jj]
+
+    pg = gather(p)
+    Gg = G[el[:, None], bq.ii, bq.jj]  # (nedges, n, 2, 2)
+    nrm = jnp.asarray(bq.normal, dtype=pg.dtype)
+    ds = jnp.asarray(bq.ds, dtype=pg.dtype)
+
+    S2 = Gg + jnp.swapaxes(Gg, -1, -2)  # 2 S
+    trac = -pg[..., None] * nrm + viscosity * jnp.einsum(
+        "knab,knb->kna", S2, nrm
+    )
+    F = jnp.sum(trac * ds[..., None], axis=(0, 1))
+    xg = gather(jnp.asarray(sem.mesh.x, dtype=pg.dtype)) - center[0]
+    yg = gather(jnp.asarray(sem.mesh.y, dtype=pg.dtype)) - center[1]
+    Mz = jnp.sum((xg * trac[..., 1] - yg * trac[..., 0]) * ds)
+    return F[0], F[1], Mz
+
+
+# ----------------------------------------------------------------------
+def zero_crossings(times: np.ndarray, signal: np.ndarray) -> np.ndarray:
+    """Upward zero-crossing instants by linear interpolation — the
+    Poincare-section period tracker (reference ``zero_crossing``,
+    utils.f90:897-968, writing zc_period.dat).  Returns crossing times;
+    successive differences estimate the oscillation period."""
+    times = np.asarray(times)
+    s = np.asarray(signal)
+    idx = np.where((s[:-1] <= 0.0) & (s[1:] > 0.0))[0]
+    frac = -s[idx] / (s[idx + 1] - s[idx])
+    return times[idx] + frac * (times[idx + 1] - times[idx])
+
+
+def periods_from_signal(times, signal) -> np.ndarray:
+    return np.diff(zero_crossings(times, np.asarray(signal) - np.mean(signal)))
+
+
+# ----------------------------------------------------------------------
+class StepMonitor:
+    """Per-step wall-clock accounting + CFL guard (the reference's
+    ``nekStab_comment``: mean step cost, time per nondimensional time unit,
+    ETA, abort at CFL > 10 — utils.f90:538-598)."""
+
+    def __init__(self, total_steps: int, dt: float, cfl_abort: float = 10.0,
+                 log=print, every: int = 100):
+        self.total = int(total_steps)
+        self.dt = float(dt)
+        self.cfl_abort = float(cfl_abort)
+        self.log = log
+        self.every = max(int(every), 1)
+        self._t0 = _time.perf_counter()
+        self.steps_done = 0
+
+    def step(self, cfl: Optional[float] = None) -> None:
+        self.steps_done += 1
+        if cfl is not None and cfl > self.cfl_abort:
+            raise RuntimeError(
+                f"CFL {cfl:.2f} > {self.cfl_abort} at step {self.steps_done} "
+                "— diverged (reference aborts identically, utils.f90:550-557)"
+            )
+        if self.steps_done % self.every == 0:
+            el = _time.perf_counter() - self._t0
+            per = el / self.steps_done
+            eta = per * (self.total - self.steps_done)
+            self.log(
+                f"step {self.steps_done}/{self.total}  t={self.steps_done*self.dt:.4f}  "
+                f"{per*1e3:.1f} ms/step  t/t_nd={per/self.dt:.2f} s  ETA {eta:.0f}s"
+                + (f"  CFL={cfl:.3f}" if cfl is not None else "")
+            )
+
+
+class SeriesWriter:
+    """Append-mode structured time-series files in the reference's formats
+    (residu.dat, total_energy.dat, lift_drag.dat ... SURVEY.md section 5)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "a", buffering=1)
+
+    def write(self, *cols) -> None:
+        self._fh.write(" ".join(f"{float(c):.15E}" for c in cols) + "\n")
+
+    def close(self) -> None:
+        self._fh.close()

@@ -1,0 +1,123 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nekstab_next_tpu.io import (
+    ArnoldiCheckpoint,
+    load_field,
+    read_nek_field,
+    save_field,
+)
+from nekstab_next_tpu.mesh import box_mesh_2d
+from nekstab_next_tpu.mesh.cylinder import cylinder_mesh
+from nekstab_next_tpu.mesh.mesh import BoundaryCondition as BC
+from nekstab_next_tpu.ops import SEM
+from nekstab_next_tpu.utils.diagnostics import (
+    boundary_quadrature,
+    periods_from_signal,
+    surface_force_and_torque,
+    total_energy,
+    total_enstrophy,
+    zero_crossings,
+)
+
+REF_BF = "/root/reference/examples/cylinder/BF_1cyl0.f00001"
+
+
+def test_field_roundtrip(tmp_path):
+    u = np.random.default_rng(0).standard_normal((4, 5, 5, 2))
+    p = np.random.default_rng(1).standard_normal((4, 5, 5))
+    path = save_field(str(tmp_path / "BF_test.npz"), u, p=p, time=3.25,
+                      reynolds=60.0, mode="newton")
+    f = load_field(path)
+    assert np.allclose(f.u, u)
+    assert np.allclose(f.p, p)
+    assert f.time == 3.25
+    assert f.meta["reynolds"] == 60.0
+    assert f.meta["mode"] == "newton"
+
+
+def test_arnoldi_checkpoint_roundtrip(tmp_path):
+    ck = ArnoldiCheckpoint(str(tmp_path), session="t")
+    Q = np.random.default_rng(2).standard_normal((6, 4, 5, 5, 2))
+    H = np.random.default_rng(3).standard_normal((6, 5))
+    ck.save([Q], H, ncols=3, restart=2)
+    leaves, H2, ncols, meta = ck.load()
+    assert np.allclose(leaves[0], Q)
+    assert np.allclose(H2, H)
+    assert ncols == 3
+    assert int(meta["restart"]) == 2
+    ck.clear()
+    assert ck.load() is None
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BF), reason="reference fixture absent")
+def test_read_reference_base_flow():
+    f = read_nek_field(REF_BF)
+    assert f.nx == f.ny == 6 and f.nz == 1
+    assert f.nelem == 1996
+    assert f.rdcode.upper().startswith("XUP")
+    assert f.time == pytest.approx(1.0)
+    r = np.sqrt(f.x**2 + f.y**2)
+    # cylinder of diameter 1 at the origin inside a larger domain
+    assert r.min() == pytest.approx(0.5, rel=1e-6)
+    assert r.max() > 10.0
+    assert np.all(np.isfinite(f.u))
+    speed = np.sqrt((f.u**2).sum(-1))
+    assert 0.9 < speed.max() < 3.0  # freestream ~1, some acceleration
+    # no-slip on the cylinder surface
+    on_wall = r < 0.5 + 1e-10
+    assert speed[on_wall].max() < 1e-8
+
+
+def test_energy_enstrophy_taylor_green():
+    mesh = box_mesh_2d(8, 8, order=5, x0=0, x1=2 * np.pi, y0=0, y1=2 * np.pi,
+                       periodic_x=True, periodic_y=True)
+    sem = SEM(mesh)
+    u = jnp.asarray(np.stack([-np.cos(mesh.x) * np.sin(mesh.y),
+                              np.sin(mesh.x) * np.cos(mesh.y)], axis=-1))
+    E = float(total_energy(sem, u))
+    Z = float(total_enstrophy(sem, u))
+    assert abs(E - np.pi**2) < 1e-8
+    assert abs(Z - 2 * np.pi**2) < 1e-6
+
+
+def test_surface_force_shear_flow():
+    mesh = box_mesh_2d(4, 4, order=5, bc={
+        "bottom": BC.WALL, "top": BC.DIRICHLET,
+        "left": BC.DIRICHLET, "right": BC.DIRICHLET,
+    })
+    sem = SEM(mesh)
+    nu = 0.07
+    u = jnp.asarray(np.stack([mesh.y, np.zeros_like(mesh.y)], axis=-1))
+    p = jnp.zeros(mesh.x.shape)
+    bq = boundary_quadrature(mesh, tags=(BC.WALL,))
+    fx, fy, mz = surface_force_and_torque(sem, bq, u, p, viscosity=nu)
+    # traction on the bottom wall from the fluid above: t = (nu, 0), L = 1
+    assert abs(float(fx) - nu) < 1e-10
+    assert abs(float(fy)) < 1e-10
+
+
+def test_surface_force_pressure_on_cylinder():
+    mesh = cylinder_mesh(nr=8, ntheta=24, order=5, outer_radius=5.0)
+    sem = SEM(mesh)
+    u = jnp.zeros(mesh.x.shape + (2,))
+    p = jnp.asarray(-mesh.x)
+    bq = boundary_quadrature(mesh, tags=(BC.WALL,))
+    fx, fy, mz = surface_force_and_torque(sem, bq, u, p, viscosity=0.0)
+    # F = -closed-integral p n ds = area of body for p = -x: pi r^2, r = 0.5
+    assert abs(float(fx) - np.pi * 0.25) < 1e-6
+    assert abs(float(fy)) < 1e-10
+    assert abs(float(mz)) < 1e-10
+
+
+def test_zero_crossings_period():
+    t = np.linspace(0, 20, 4001)
+    s = np.sin(2 * np.pi * t / 3.0 + 0.3)
+    zc = zero_crossings(t, s)
+    periods = np.diff(zc)
+    assert np.allclose(periods, 3.0, atol=1e-4)
+    p2 = periods_from_signal(t, s + 5.0)  # mean-shifted
+    assert np.allclose(p2, 3.0, atol=1e-4)
