@@ -1,0 +1,167 @@
+"""Flagship end-to-end run: cylinder-in-crossflow global stability analysis.
+
+Pipeline (BASELINE.md configs 1-3 on one case):
+
+1. Newton-Krylov base flow at Re (the reference's uparam 2.0 path,
+   core/newton_krylov.f90), seeded by a short DNS transient;
+2. direct leading eigenmodes (uparam 3.1 / linear_stability_analysis);
+3. adjoint leading eigenmodes (uparam 3.2);
+4. wavemaker + base-flow sensitivity (uparam 4.2/4.3);
+5. outputs: BF/mode snapshots (npz), spectrum files, lift/drag of the base
+   flow, and a JSON summary.
+
+Literature anchors at Re = 60 (validation targets): growth rate
+sigma ~ 0.045-0.05, Strouhal St = omega/(2 pi) ~ 0.135-0.14
+(Barkley EPL 2006 fig. 2; Giannetti & Luchini JFM 2007).
+
+Usage:  python examples/cylinder_stability.py [--preset quick|full]
+        (quick: coarse mesh, CPU-runnable in ~1-2 h; full: fixture scale)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("NEKSTAB_CPU"):
+    # must happen before any backend use — the session sitecustomize pins a
+    # remote TPU platform, and the JAX_PLATFORMS env var is read too early
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from nekstab_next_tpu.algorithms import linear_stability_analysis, newton_krylov
+from nekstab_next_tpu.cases.cylinder import CylinderCase
+from nekstab_next_tpu.config import NewtonConfig
+from nekstab_next_tpu.io import save_field
+from nekstab_next_tpu.mesh.mesh import BoundaryCondition as BC
+from nekstab_next_tpu.postproc import bf_sensitivity, wave_maker
+from nekstab_next_tpu.stepper.state import initial_state
+from nekstab_next_tpu.utils import boundary_quadrature, surface_force_and_torque
+
+PRESETS = {
+    "quick": dict(nr=6, ntheta=16, order=6, outer_radius=20.0, k_dim=48,
+                  horizon=1.0, settle=300, newton_kdim=40),
+    "medium": dict(nr=10, ntheta=28, order=6, outer_radius=30.0, k_dim=64,
+                   horizon=1.0, settle=400, newton_kdim=48),
+    "full": dict(nr=16, ntheta=48, order=6, outer_radius=40.0, k_dim=128,
+                 horizon=1.0, settle=600, newton_kdim=64),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="quick", choices=sorted(PRESETS))
+    ap.add_argument("--reynolds", type=float, default=60.0)
+    ap.add_argument("--outdir", default="cylinder_out")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    args = ap.parse_args()
+    P = PRESETS[args.preset]
+    os.makedirs(args.outdir, exist_ok=True)
+
+    case = CylinderCase(
+        reynolds=args.reynolds, nr=P["nr"], ntheta=P["ntheta"],
+        order=P["order"], outer_radius=P["outer_radius"],
+    )
+    ns = case.make_ns()
+    nsteps = max(int(round(P["horizon"] / case.dt)), 1)
+    dt = P["horizon"] / nsteps
+    ns.dt = dt
+    print(f"[cyl] Re={args.reynolds} nelem={case.mesh.nelem} order={P['order']} "
+          f"dt={dt:.5f} nsteps/matvec={nsteps}", flush=True)
+
+    # ---- 1. base flow --------------------------------------------------
+    t0 = time.time()
+    st = initial_state(case.uniform_flow())
+    st = jax.jit(lambda s: ns.advance(s, P["settle"]))(st)
+    print(f"[cyl] DNS settle {P['settle']} steps done ({time.time()-t0:.0f}s)",
+          flush=True)
+
+    def newton_cb(it, res, T):
+        print(f"[cyl] newton iter {it}  res={res:.3e}  ({time.time()-t0:.0f}s)",
+              flush=True)
+
+    result = newton_krylov(
+        ns, st.u, horizon=P["horizon"], nsteps=nsteps,
+        cfg=NewtonConfig(tol=1e-9, max_iter=30), k_dim=P["newton_kdim"],
+        callback=newton_cb,
+    )
+    assert result.converged, f"Newton failed: {result.history[-3:]}"
+    base = result.u
+    save_field(os.path.join(args.outdir, "BF_cyl_00001.npz"), base,
+               p=result.p, time=0.0, reynolds=args.reynolds)
+    bq = boundary_quadrature(case.mesh, tags=(BC.WALL,))
+    fx, fy, _ = surface_force_and_torque(case.sem, bq, base,
+                                         jnp.zeros(case.mesh.x.shape),
+                                         viscosity=ns.nu)
+    cd = 2.0 * float(fx)  # Cd = Fx / (1/2 rho U^2 D), U = D = 1
+    print(f"[cyl] base flow converged res={result.residual:.2e} "
+          f"Cd={cd:.4f} ({time.time()-t0:.0f}s)", flush=True)
+
+    # ---- 2./3. direct + adjoint eigenmodes ------------------------------
+    out = {"reynolds": args.reynolds, "preset": args.preset,
+           "nelem": case.mesh.nelem, "cd": cd,
+           "newton_residual": result.residual}
+    for mode in ("direct", "adjoint"):
+        res = linear_stability_analysis(
+            ns, base, horizon=P["horizon"], nsteps=nsteps, mode=mode,
+            k_dim=P["k_dim"], nev=2, tol=args.tol, nmodes_out=2,
+        )
+        lam = res.lam[0]
+        print(f"[cyl] {mode}: lambda = {lam.real:+.6f} {lam.imag:+.6f}i  "
+              f"St = {abs(lam.imag)/(2*np.pi):.5f}  res={res.residuals[0]:.2e} "
+              f"({res.n_matvecs} matvecs, {time.time()-t0:.0f}s)", flush=True)
+        out[mode] = dict(
+            sigma=float(lam.real), omega=float(lam.imag),
+            strouhal=float(abs(lam.imag) / (2 * np.pi)),
+            ritz_residual=float(res.residuals[0]),
+            n_matvecs=int(res.n_matvecs),
+        )
+        prefix = "d" if mode == "direct" else "a"
+        re_, im_ = res.modes[0]
+        save_field(os.path.join(args.outdir, f"{prefix}Re_cyl_00001.npz"),
+                   re_, time=P["horizon"], eigenvalue=[lam.real, lam.imag])
+        save_field(os.path.join(args.outdir, f"{prefix}Im_cyl_00001.npz"),
+                   im_, time=P["horizon"], eigenvalue=[lam.real, lam.imag])
+        np.savetxt(
+            os.path.join(args.outdir, f"Spectre_NS{prefix}.dat"),
+            np.column_stack([res.lam.real, res.lam.imag, res.residuals]),
+            header="sigma omega ritz_residual",
+        )
+        out[f"{mode}_modes"] = res.modes
+
+    # ---- 4. wavemaker + base-flow sensitivity ---------------------------
+    d_re, d_im = out["direct_modes"][0]
+    a_re, a_im = out["adjoint_modes"][0]
+    wm = wave_maker(case.sem, d_re, d_im, a_re, a_im)
+    save_field(os.path.join(args.outdir, "wm_cyl_00001.npz"),
+               jnp.stack([wm, wm], axis=-1), time=0.0)
+    sens = bf_sensitivity(case.sem, d_re, d_im, a_re, a_im)
+    for k, v in sens.items():
+        save_field(os.path.join(args.outdir, f"{k}_cyl_00001.npz"), v, time=0.0)
+    ix = int(jnp.argmax(wm))
+    print(f"[cyl] wavemaker peak {float(jnp.max(wm)):.3f} at "
+          f"x={float(case.mesh.x.reshape(-1)[ix]):.2f} "
+          f"y={float(case.mesh.y.reshape(-1)[ix]):.2f}", flush=True)
+    out["wavemaker_peak"] = dict(
+        value=float(jnp.max(wm)),
+        x=float(case.mesh.x.reshape(-1)[ix]),
+        y=float(case.mesh.y.reshape(-1)[ix]),
+    )
+
+    del out["direct_modes"], out["adjoint_modes"]
+    with open(os.path.join(args.outdir, "summary.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"[cyl] done in {time.time()-t0:.0f}s -> {args.outdir}/summary.json",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,14 +44,14 @@ class NewtonResult:
     history: list
 
 
-def _vspace(sem) -> VectorSpace:
-    def dot(a, b):
-        return (
-            sem.inner(a[..., 0], b[..., 0], masked=False)
-            + sem.inner(a[..., 1], b[..., 1], masked=False)
-        )
+def _dotv(sem, a, b):
+    return sum(
+        sem.inner(a[..., d], b[..., d], masked=False) for d in range(a.shape[-1])
+    )
 
-    return VectorSpace(dot)
+
+def _vspace(sem) -> VectorSpace:
+    return VectorSpace(lambda a, b: _dotv(sem, a, b))
 
 
 def _vspace_upo(sem) -> VectorSpace:
@@ -62,11 +62,7 @@ def _vspace_upo(sem) -> VectorSpace:
     def dot(a, b):
         u, t = a
         v, s = b
-        return (
-            sem.inner(u[..., 0], v[..., 0], masked=False)
-            + sem.inner(u[..., 1], v[..., 1], masked=False)
-            + t * s
-        )
+        return _dotv(sem, u, v) + t * s
 
     return VectorSpace(dot)
 
@@ -105,10 +101,7 @@ def newton_krylov(
         dt = T / nsteps
         Phi = prop(q, dt)
         F = Phi - q
-        res = float(jnp.sqrt(
-            s.inner(F[..., 0], F[..., 0], masked=False)
-            + s.inner(F[..., 1], F[..., 1], masked=False)
-        ))
+        res = float(jnp.sqrt(_dotv(s, F, F)))
         history.append((it, res, T))
         if callback is not None:
             callback(it, res, T)
@@ -130,10 +123,7 @@ def newton_krylov(
             def J(x):
                 dq, dT = x
                 Mdq = tangent(q, p_final, dq, dt)
-                phase = (
-                    s.inner(qdot0[..., 0], dq[..., 0], masked=False)
-                    + s.inner(qdot0[..., 1], dq[..., 1], masked=False)
-                )
+                phase = _dotv(s, qdot0, dq)
                 return (Mdq - dq + dT * bvec, phase)
 
             rhs = (-F, jnp.asarray(0.0, s.dtype))

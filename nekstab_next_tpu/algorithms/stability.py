@@ -37,9 +37,9 @@ def velocity_space(sem, masked: bool = True) -> VectorSpace:
     """Energy inner product over velocity fields (the reference's k_dot)."""
 
     def dot(a, b):
-        return (
-            sem.inner(a[..., 0], b[..., 0], masked=masked)
-            + sem.inner(a[..., 1], b[..., 1], masked=masked)
+        return sum(
+            sem.inner(a[..., d], b[..., d], masked=masked)
+            for d in range(a.shape[-1])
         )
 
     return VectorSpace(dot)

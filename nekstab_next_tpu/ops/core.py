@@ -45,6 +45,8 @@ class SEM:
     (jit/vmap/grad-safe) and close over these arrays as constants.
     """
 
+    ndim = 2
+
     def __init__(self, mesh: Mesh2D, dtype=jnp.float64, axis_name: Optional[str] = None):
         self.mesh = mesh
         self.dtype = dtype
@@ -178,6 +180,19 @@ class SEM:
         ux, _ = self.grad(u)
         _, vy = self.grad(v)
         return ux + vy
+
+    # vector-form aliases shared with SEM3 (dimension-agnostic stepper)
+    def gradv(self, u: jnp.ndarray) -> jnp.ndarray:
+        return jnp.stack(self.grad(u), axis=-1)
+
+    def divv(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.div(u[..., 0], u[..., 1])
+
+    def convect(self, c: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        return self.convect_weak(c[..., 0], c[..., 1], u)
+
+    def convect_colloc_v(self, c: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        return self.convect_colloc(c[..., 0], c[..., 1], u)
 
     def curl(self, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         """z-vorticity dv/dx - du/dy (``comp_vort3`` 2-D)."""

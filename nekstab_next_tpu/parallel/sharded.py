@@ -74,7 +74,12 @@ class ShardedContext:
                 f"nelem={mesh.nelem} must be divisible by the {ndev}-device mesh "
                 "(choose element counts accordingly; padding lands later)"
             )
-        self._sem_host = SEM(mesh, dtype=dtype)
+        if getattr(mesh, "ndim", 2) == 3:
+            from ..ops.core3 import SEM3
+
+            self._sem_host = SEM3(mesh, dtype=dtype)
+        else:
+            self._sem_host = SEM(mesh, dtype=dtype)
         if sponge_strength is not None:
             self._sem_host.set_sponge(sponge_strength)
         self.ns_kwargs = dict(ns_kwargs)
@@ -83,12 +88,13 @@ class ShardedContext:
         eshard = NamedSharding(self.jmesh, P(axis))
         arrays = self._sem_host.elem_arrays()
         s = self._sem_host
+        nd = s.ndim
         arrays["u_bc"] = (
-            jnp.zeros(s.bm.shape + (2,), dtype=dtype) if u_bc is None else
+            jnp.zeros(s.bm.shape + (nd,), dtype=dtype) if u_bc is None else
             (1.0 - s.vmask) * u_bc.astype(dtype)
         )
         arrays["sponge_ref"] = (
-            jnp.zeros(s.bm.shape + (2,), dtype=dtype) if sponge_ref is None
+            jnp.zeros(s.bm.shape + (nd,), dtype=dtype) if sponge_ref is None
             else sponge_ref.astype(dtype)
         )
         self._has_sponge_ref = sponge_ref is not None
@@ -104,10 +110,11 @@ class ShardedContext:
         ns.nu = self.ns_kwargs.get("viscosity", 1.0)
         ns.dt = self.ns_kwargs.get("dt", 1e-3)
         ns.solver = self.ns_kwargs.get("solver", SolverConfig())
+        ns.ndim = sem_l.ndim
         ns.u_bc = local_arrays["u_bc"]
         ns.forcing = self._forcing
         ns.sponge_ref = local_arrays["sponge_ref"] if self._has_sponge_ref else None
-        ns._convect = sem_l.convect_weak if ns.solver.dealias else sem_l.convect_colloc
+        ns._convect = sem_l.convect if ns.solver.dealias else sem_l.convect_colloc_v
         ns._kdiag_local = sem_l.stiffness_diag()
         return ns
 

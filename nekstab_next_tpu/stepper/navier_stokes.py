@@ -76,18 +76,20 @@ class NavierStokes:
         solver: SolverConfig = SolverConfig(),
     ):
         self.sem = sem
+        self.ndim = sem.ndim
         self.nu = float(viscosity)
         self.dt = float(dt)
         self.solver = solver
         s = sem
         self.u_bc = (
-            jnp.zeros(s.bm.shape + (2,), dtype=s.dtype) if u_bc is None else u_bc.astype(s.dtype)
+            jnp.zeros(s.bm.shape + (self.ndim,), dtype=s.dtype)
+            if u_bc is None else u_bc.astype(s.dtype)
         )
         # keep only Dirichlet-node values in the lift field
         self.u_bc = (1.0 - s.vmask) * self.u_bc
         self.forcing = forcing
         self.sponge_ref = sponge_ref
-        self._convect = s.convect_weak if solver.dealias else s.convect_colloc
+        self._convect = s.convect if solver.dealias else s.convect_colloc_v
 
         # local operator diagonal for Jacobi preconditioning (assembled
         # inside elliptic_solve)
@@ -103,7 +105,7 @@ class NavierStokes:
         resolvent's harmonic forcing inject through it."""
         s = self.sem
         conv = jnp.stack(
-            [self._convect(u[..., 0], u[..., 1], u[..., d]) for d in range(2)], axis=-1
+            [self._convect(u, u[..., d]) for d in range(u.shape[-1])], axis=-1
         )
         E = -conv
         bm = s.bm[..., None]
@@ -161,16 +163,17 @@ class NavierStokes:
             + a[0] * E0 + a[1] * nlag0[0] + a[2] * nlag0[1]
         )
         # incremental pressure: subtract weak grad of current pressure
-        px, py = s.grad(p0)
-        rhs = rhs - bm * jnp.stack([px, py], axis=-1)
+        rhs = rhs - bm * s.gradv(p0)
 
         # ---- velocity Helmholtz solve with Dirichlet lift ---------------
         vmask = s.vmask
         h2 = g0 / dt
+        ndim = u0.shape[-1]
 
         def helm_local(w):
             return jnp.stack(
-                [s.helmholtz_local(w[..., d], self.nu, h2) for d in range(2)], axis=-1
+                [s.helmholtz_local(w[..., d], self.nu, h2) for d in range(ndim)],
+                axis=-1,
             )
 
         w = elliptic_solve(
@@ -185,7 +188,7 @@ class NavierStokes:
         ustar = w + self.u_bc
 
         # ---- pressure-increment Poisson --------------------------------
-        divu = s.div(ustar[..., 0], ustar[..., 1])
+        divu = s.divv(ustar)
         dp = elliptic_solve(
             s,
             s.stiffness_local,
@@ -198,8 +201,7 @@ class NavierStokes:
         )
 
         # ---- projection / correction -----------------------------------
-        dpx, dpy = s.grad(dp)
-        u_new = ustar - (dt / g0) * jnp.stack([dpx, dpy], axis=-1)
+        u_new = ustar - (dt / g0) * s.gradv(dp)
         u_new = s.dsavg_mass(u_new)
         u_new = vmask * u_new + self.u_bc
         p_new = p0 + dp

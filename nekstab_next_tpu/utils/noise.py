@@ -14,9 +14,9 @@ import numpy as np
 
 
 def velocity_noise(sem, seed: int = 1234, amplitude: float = 1.0) -> jnp.ndarray:
-    """C0, BC-compatible random velocity field (nelem, n, n, 2)."""
+    """C0, BC-compatible random velocity field (nelem, n, n[, n], ndim)."""
     rng = np.random.default_rng(seed)
-    raw = rng.standard_normal(np.asarray(sem.bm).shape + (2,))
+    raw = rng.standard_normal(np.asarray(sem.bm).shape + (sem.ndim,))
     q = jnp.asarray(raw, dtype=sem.dtype)
     q = sem.dsavg(q)  # make C0 (reference smooths via dssum + multiplicity)
     q = sem.vmask * q  # honor Dirichlet/symmetry masks
