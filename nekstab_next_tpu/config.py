@@ -81,6 +81,8 @@ class SolverConfig:
     pressure_maxiter: int = 2000
     velocity_maxiter: int = 500
     dealias: bool = True  # over-integration of convection (Nek lxd = 3/2 lx1)
+    fdm_precond: bool = True  # tensor-product fast-diagonalization element
+    # preconditioner for the elliptic solves (ops/fdm.py); False -> Jacobi
 
 
 @dataclasses.dataclass(frozen=True)

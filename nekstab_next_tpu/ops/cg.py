@@ -29,12 +29,13 @@ def pcg(
     maxiter: int = 500,
     dot: Optional[Callable] = None,
     x0=None,
+    return_iters: bool = False,
 ):
     """Preconditioned CG on an SPD operator over an arbitrary pytree.
 
     ``dot`` must be the *global* inner product (psum under SPMD).  Returns the
-    solution pytree.  Fixed-shape ``lax.while_loop`` with early exit on
-    ||r|| <= tol * ||b||.
+    solution pytree (or ``(x, niter)`` when ``return_iters``).  Fixed-shape
+    ``lax.while_loop`` with early exit on ||r|| <= tol * ||b||.
     """
     if precond is None:
         precond = lambda r: r
@@ -74,6 +75,8 @@ def pcg(
         return (x, r, p, rz_new, k + 1)
 
     x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    if return_iters:
+        return x, k
     return x
 
 

@@ -94,6 +94,25 @@ class SEM:
         self.rx_d, self.ry_d = f(interp2(mesh.rx)), f(interp2(mesh.ry))
         self.sx_d, self.sy_d = f(interp2(mesh.sx)), f(interp2(mesh.sy))
 
+        # fast-diagonalization preconditioner setup (ops/fdm.py)
+        from .fdm import coarse_setup, element_half_lengths_2d, fdm_eigensetup
+
+        S_fdm, lam_fdm = fdm_eigensetup(n)
+        self.fdm_S = f(S_fdm)
+        self.fdm_lam = f(lam_fdm)
+        self.fdm_len = f(element_half_lengths_2d(mesh))  # (nelem, 2)
+
+        # Q1 vertex coarse level for the pressure Poisson (XXT equivalent)
+        z, _ = gll_points_weights(n)
+        cid, Jc, Acinv = coarse_setup(
+            mesh.gid, (mesh.g11, mesh.g12, mesh.g22),
+            diff_matrix(n), z, np.asarray(mesh.pmask),
+        )
+        self.pc_cid = jnp.asarray(cid, dtype=jnp.int32)
+        self.pc_Jc = f(Jc)
+        self.pc_Acinv = f(Acinv)
+        self.pc_nc = int(Acinv.shape[0])
+
         # number of devices sharing the element axis (set by parallel wrapper)
         self.num_shards = 1
         # light metadata used device-side (so a shard view needs no Mesh2D)
@@ -107,6 +126,7 @@ class SEM:
         "g11", "g12", "g22", "vmask", "pmask", "tmask",
         "binv_assembled", "inv_mult",
         "jac_d", "rx_d", "ry_d", "sx_d", "sy_d",
+        "fdm_len", "pc_cid",
     )
 
     def elem_arrays(self) -> dict:
@@ -225,6 +245,38 @@ class SEM:
     def helmholtz_local(self, u: jnp.ndarray, h1, h2) -> jnp.ndarray:
         """Local weak Helmholtz: h1 * K u + h2 * B u  (Nek ``axhelm``)."""
         return h1 * self.stiffness_local(u) + h2 * self.bm * u
+
+    def fdm_apply(self, r: jnp.ndarray, h1, h2) -> jnp.ndarray:
+        """Approximate elementwise inverse of (h1 K + h2 B) via tensor-product
+        fast diagonalization on each element's bounding box (ops/fdm.py).
+        Symmetric positive definite — valid as a CG preconditioner block.
+
+        Accepts trailing component axes: (nelem, n, n, ...)."""
+        S, lam = self.fdm_S, self.fdm_lam
+        a = self.fdm_len[:, 0][:, None, None]
+        b = self.fdm_len[:, 1][:, None, None]
+        denom = h1 * ((b / a) * lam[:, None] + (a / b) * lam[None, :]) + h2 * (a * b)
+        # the Neumann constant mode (lam=0 twice) has denom ~ h2*ab; when h2=0
+        # give it the scale of the lowest genuine mode so M stays SPD
+        ref = h1 * (b / a + a / b) * lam[1] + h2 * (a * b)
+        inv = jnp.where(denom > 1e-8 * ref, 1.0 / jnp.maximum(denom, 1e-300), 1.0 / ref)
+        inv = inv.reshape(inv.shape + (1,) * (r.ndim - 3))
+        t = jnp.einsum("ia,jb,eij...->eab...", S, S, r)
+        t = t * inv
+        return jnp.einsum("ia,jb,eab...->eij...", S, S, t)
+
+    def coarse_apply_pressure(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Q1 vertex coarse-grid correction for the pressure Poisson — the
+        two-level additive-Schwarz complement of :meth:`fdm_apply` (Nek's XXT
+        coarse solve plays this role, SURVEY.md section 2.2)."""
+        rc_e = jnp.einsum("cij,eij->ec", self.pc_Jc, r)
+        rc = jax.ops.segment_sum(
+            rc_e.reshape(-1), self.pc_cid.reshape(-1), num_segments=self.pc_nc
+        )
+        if self.axis_name is not None:
+            rc = jax.lax.psum(rc, self.axis_name)
+        xc = self.pc_Acinv @ rc
+        return jnp.einsum("cij,ec->eij", self.pc_Jc, xc[self.pc_cid])
 
     # ------------------------------------------------------------------
     # convection

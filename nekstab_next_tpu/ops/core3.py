@@ -74,6 +74,26 @@ class SEM3:
                   "dtdx", "dtdy", "dtdz"):
             setattr(self, k + "_d", f(interp3(getattr(mesh, k))))
 
+        # fast-diagonalization preconditioner setup (ops/fdm.py)
+        from .fdm import coarse_setup, element_half_lengths_3d, fdm_eigensetup
+
+        S_fdm, lam_fdm = fdm_eigensetup(n)
+        self.fdm_S = f(S_fdm)
+        self.fdm_lam = f(lam_fdm)
+        self.fdm_len = f(element_half_lengths_3d(mesh))  # (nelem, 3)
+
+        # Q1 vertex coarse level for the pressure Poisson (XXT equivalent)
+        zc_, _ = gll_points_weights(n)
+        cid, Jc, Acinv = coarse_setup(
+            mesh.gid,
+            (mesh.g11, mesh.g12, mesh.g13, mesh.g22, mesh.g23, mesh.g33),
+            diff_matrix(n), zc_, np.asarray(mesh.pmask),
+        )
+        self.pc_cid = jnp.asarray(cid, dtype=jnp.int32)
+        self.pc_Jc = f(Jc)
+        self.pc_Acinv = f(Acinv)
+        self.pc_nc = int(Acinv.shape[0])
+
         self.num_shards = 1
         self.has_pressure_dirichlet = mesh.has_pressure_dirichlet
 
@@ -86,6 +106,7 @@ class SEM3:
         "jac_d",
         "drdx_d", "drdy_d", "drdz_d", "dsdx_d", "dsdy_d", "dsdz_d",
         "dtdx_d", "dtdy_d", "dtdz_d",
+        "fdm_len", "pc_cid",
     )
 
     def elem_arrays(self) -> dict:
@@ -182,6 +203,37 @@ class SEM3:
 
     def helmholtz_local(self, u: jnp.ndarray, h1, h2) -> jnp.ndarray:
         return h1 * self.stiffness_local(u) + h2 * self.bm * u
+
+    def fdm_apply(self, r: jnp.ndarray, h1, h2) -> jnp.ndarray:
+        """Approximate elementwise inverse of (h1 K + h2 B) via tensor-product
+        fast diagonalization (3-D analogue of SEM.fdm_apply, ops/fdm.py)."""
+        S, lam = self.fdm_S, self.fdm_lam
+        a = self.fdm_len[:, 0][:, None, None, None]
+        b = self.fdm_len[:, 1][:, None, None, None]
+        c = self.fdm_len[:, 2][:, None, None, None]
+        li = lam[:, None, None]
+        lj = lam[None, :, None]
+        lk = lam[None, None, :]
+        denom = h1 * (
+            (b * c / a) * li + (a * c / b) * lj + (a * b / c) * lk
+        ) + h2 * (a * b * c)
+        ref = h1 * (b * c / a + a * c / b + a * b / c) * lam[1] + h2 * (a * b * c)
+        inv = jnp.where(denom > 1e-8 * ref, 1.0 / jnp.maximum(denom, 1e-300), 1.0 / ref)
+        inv = inv.reshape(inv.shape + (1,) * (r.ndim - 4))
+        t = jnp.einsum("ia,jb,kc,eijk...->eabc...", S, S, S, r)
+        t = t * inv
+        return jnp.einsum("ia,jb,kc,eabc...->eijk...", S, S, S, t)
+
+    def coarse_apply_pressure(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Q1 vertex coarse-grid correction (3-D analogue, see SEM)."""
+        rc_e = jnp.einsum("cijk,eijk->ec", self.pc_Jc, r)
+        rc = jax.ops.segment_sum(
+            rc_e.reshape(-1), self.pc_cid.reshape(-1), num_segments=self.pc_nc
+        )
+        if self.axis_name is not None:
+            rc = jax.lax.psum(rc, self.axis_name)
+        xc = self.pc_Acinv @ rc
+        return jnp.einsum("cijk,ec->eijk", self.pc_Jc, xc[self.pc_cid])
 
     # ------------------------------------------------------------------
     def _to_fine(self, a: jnp.ndarray) -> jnp.ndarray:

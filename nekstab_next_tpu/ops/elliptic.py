@@ -42,6 +42,8 @@ def elliptic_solve(
     maxiter: int,
     diag_local: Optional[jnp.ndarray] = None,
     project_mean: bool = False,
+    fdm: Optional[tuple] = None,
+    coarse: bool = False,
 ):
     """Solve the assembled system  (P local_op P) x = P rhs_local  by PCG
     under ``lax.custom_linear_solve`` (symmetric, hence exactly transposable).
@@ -51,6 +53,9 @@ def elliptic_solve(
     ``mask``       : 1 = free dof, 0 = Dirichlet (may carry component axes)
     ``diag_local`` : local diagonal of ``local_op`` for Jacobi preconditioning
     ``project_mean``: remove the constant nullspace (pure-Neumann Poisson)
+    ``fdm``        : (h1, h2) Helmholtz coefficients — use the tensor-product
+                     fast-diagonalization block preconditioner (ops/fdm.py)
+                     instead of Jacobi (additive Schwarz wrapped in P)
     """
     P = make_projector(sem, mask)
 
@@ -63,7 +68,17 @@ def elliptic_solve(
     dot = lambda a, b: sem._reduce(jnp.sum(a * b))
 
     precond = None
-    if diag_local is not None:
+    if fdm is not None:
+        h1, h2 = fdm
+
+        def precond(r):
+            Pr = P(r)
+            z = sem.fdm_apply(Pr, h1, h2)
+            if coarse:
+                z = z + sem.coarse_apply_pressure(Pr)
+            return P(z) + (r - Pr)
+
+    elif diag_local is not None:
         dinv = 1.0 / sem.dssum(diag_local)
         if dinv.ndim < rhs.ndim:
             dinv = dinv.reshape(dinv.shape + (1,) * (rhs.ndim - dinv.ndim))

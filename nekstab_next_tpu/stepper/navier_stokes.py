@@ -184,6 +184,7 @@ class NavierStokes:
             tol=self.solver.velocity_tol,
             maxiter=self.solver.velocity_maxiter,
             diag_local=self.nu * self._kdiag_local + h2 * s.bm,
+            fdm=(self.nu, h2) if self.solver.fdm_precond else None,
         )
         ustar = w + self.u_bc
 
@@ -198,6 +199,8 @@ class NavierStokes:
             maxiter=self.solver.pressure_maxiter,
             diag_local=self._kdiag_local,
             project_mean=not s.has_pressure_dirichlet,
+            fdm=(1.0, 0.0) if self.solver.fdm_precond else None,
+            coarse=self.solver.fdm_precond,
         )
 
         # ---- projection / correction -----------------------------------
