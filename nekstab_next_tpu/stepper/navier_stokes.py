@@ -74,6 +74,7 @@ class NavierStokes:
         forcing: Optional[Callable] = None,
         sponge_ref: Optional[jnp.ndarray] = None,
         solver: SolverConfig = SolverConfig(),
+        mixed_precision: bool = False,
     ):
         self.sem = sem
         self.ndim = sem.ndim
@@ -94,6 +95,14 @@ class NavierStokes:
         # local operator diagonal for Jacobi preconditioning (assembled
         # inside elliptic_solve)
         self._kdiag_local = s.stiffness_diag()
+
+        # opt-in mixed precision: f32 Pallas-fused inner CG + f64 iterative
+        # refinement for both elliptic solves (ops/mixed.py)
+        self.mixed = None
+        if mixed_precision:
+            from ..ops.mixed import MixedPrecision
+
+            self.mixed = MixedPrecision(s)
 
     # ------------------------------------------------------------------
     def _explicit_weak(self, u: jnp.ndarray, t: jnp.ndarray, fc=None) -> jnp.ndarray:
@@ -176,32 +185,52 @@ class NavierStokes:
                 axis=-1,
             )
 
-        w = elliptic_solve(
-            s,
-            helm_local,
-            rhs - helm_local(self.u_bc),
-            vmask,
-            tol=self.solver.velocity_tol,
-            maxiter=self.solver.velocity_maxiter,
-            diag_local=self.nu * self._kdiag_local + h2 * s.bm,
-            fdm=(self.nu, h2) if self.solver.fdm_precond else None,
-        )
+        if self.mixed is not None:
+            from ..ops.mixed import elliptic_solve_mixed
+
+            w = elliptic_solve_mixed(
+                s, self.mixed, self.nu, h2,
+                rhs - helm_local(self.u_bc), vmask,
+                maxiter=self.solver.velocity_maxiter,
+            )
+        else:
+            w = elliptic_solve(
+                s,
+                helm_local,
+                rhs - helm_local(self.u_bc),
+                vmask,
+                tol=self.solver.velocity_tol,
+                maxiter=self.solver.velocity_maxiter,
+                diag_local=self.nu * self._kdiag_local + h2 * s.bm,
+                fdm=(self.nu, h2) if self.solver.fdm_precond else None,
+            )
         ustar = w + self.u_bc
 
         # ---- pressure-increment Poisson --------------------------------
         divu = s.divv(ustar)
-        dp = elliptic_solve(
-            s,
-            s.stiffness_local,
-            -(g0 / dt) * s.bm * divu,
-            s.pmask,
-            tol=self.solver.pressure_tol,
-            maxiter=self.solver.pressure_maxiter,
-            diag_local=self._kdiag_local,
-            project_mean=not s.has_pressure_dirichlet,
-            fdm=(1.0, 0.0) if self.solver.fdm_precond else None,
-            coarse=self.solver.fdm_precond,
-        )
+        if self.mixed is not None:
+            from ..ops.mixed import elliptic_solve_mixed
+
+            dp = elliptic_solve_mixed(
+                s, self.mixed, 1.0, 0.0,
+                -(g0 / dt) * s.bm * divu, s.pmask,
+                maxiter=self.solver.pressure_maxiter,
+                project_mean=not s.has_pressure_dirichlet,
+                coarse=True,
+            )
+        else:
+            dp = elliptic_solve(
+                s,
+                s.stiffness_local,
+                -(g0 / dt) * s.bm * divu,
+                s.pmask,
+                tol=self.solver.pressure_tol,
+                maxiter=self.solver.pressure_maxiter,
+                diag_local=self._kdiag_local,
+                project_mean=not s.has_pressure_dirichlet,
+                fdm=(1.0, 0.0) if self.solver.fdm_precond else None,
+                coarse=self.solver.fdm_precond,
+            )
 
         # ---- projection / correction -----------------------------------
         u_new = ustar - (dt / g0) * s.gradv(dp)
