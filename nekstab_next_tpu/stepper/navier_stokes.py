@@ -75,6 +75,7 @@ class NavierStokes:
         sponge_ref: Optional[jnp.ndarray] = None,
         solver: SolverConfig = SolverConfig(),
         mixed_precision: bool = False,
+        u_bc_fn: Optional[Callable] = None,
     ):
         self.sem = sem
         self.ndim = sem.ndim
@@ -88,6 +89,10 @@ class NavierStokes:
         )
         # keep only Dirichlet-node values in the lift field
         self.u_bc = (1.0 - s.vmask) * self.u_bc
+        # optional time-dependent Dirichlet BC (e.g. FST inflow, stepper/
+        # fst.py — the reference's fst_uin/vin/win BC arrays, core/fst.f90):
+        # evaluated at the new time level inside the jitted step
+        self.u_bc_fn = u_bc_fn
         self.forcing = forcing
         self.sponge_ref = sponge_ref
         self._convect = s.convect if solver.dealias else s.convect_colloc_v
@@ -178,6 +183,9 @@ class NavierStokes:
         vmask = s.vmask
         h2 = g0 / dt
         ndim = u0.shape[-1]
+        u_bc = self.u_bc
+        if self.u_bc_fn is not None:
+            u_bc = u_bc + (1.0 - vmask) * self.u_bc_fn(time + dt)
 
         def helm_local(w):
             return jnp.stack(
@@ -190,21 +198,21 @@ class NavierStokes:
 
             w = elliptic_solve_mixed(
                 s, self.mixed, self.nu, h2,
-                rhs - helm_local(self.u_bc), vmask,
+                rhs - helm_local(u_bc), vmask,
                 maxiter=self.solver.velocity_maxiter,
             )
         else:
             w = elliptic_solve(
                 s,
                 helm_local,
-                rhs - helm_local(self.u_bc),
+                rhs - helm_local(u_bc),
                 vmask,
                 tol=self.solver.velocity_tol,
                 maxiter=self.solver.velocity_maxiter,
                 diag_local=self.nu * self._kdiag_local + h2 * s.bm,
                 fdm=(self.nu, h2) if self.solver.fdm_precond else None,
             )
-        ustar = w + self.u_bc
+        ustar = w + u_bc
 
         # ---- pressure-increment Poisson --------------------------------
         divu = s.divv(ustar)
@@ -235,7 +243,7 @@ class NavierStokes:
         # ---- projection / correction -----------------------------------
         u_new = ustar - (dt / g0) * s.gradv(dp)
         u_new = s.dsavg_mass(u_new)
-        u_new = vmask * u_new + self.u_bc
+        u_new = vmask * u_new + u_bc
         p_new = p0 + dp
 
         return (
