@@ -133,7 +133,9 @@ def build_mesh(
         [np.round(kx.ravel() / q).astype(np.int64), np.round(ky.ravel() / q).astype(np.int64)],
         axis=1,
     )
-    _, gid_flat, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    from ..native import global_numbering
+
+    gid_flat, counts = global_numbering(keys)
     gid = gid_flat.reshape(nelem, n, n).astype(np.int32)
     nglobal = int(counts.size)
     mult = counts[gid_flat].reshape(nelem, n, n).astype(np.float64)
