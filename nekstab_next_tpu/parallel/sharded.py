@@ -103,20 +103,24 @@ class ShardedContext:
 
     # ------------------------------------------------------------------
     def make_ns(self, local_arrays: dict) -> NavierStokes:
-        """Build a device-local NavierStokes inside a shard_map region."""
+        """Build a device-local NavierStokes inside a shard_map region.
+
+        Goes through the real constructor (round-1 built the object via
+        ``__new__`` and missed late-added attributes like ``u_bc_fn``)."""
         sem_l = self._sem_host.shard_view(local_arrays, axis_name=self.axis)
-        ns = NavierStokes.__new__(NavierStokes)
-        ns.sem = sem_l
-        ns.nu = self.ns_kwargs.get("viscosity", 1.0)
-        ns.dt = self.ns_kwargs.get("dt", 1e-3)
-        ns.solver = self.ns_kwargs.get("solver", SolverConfig())
-        ns.ndim = sem_l.ndim
-        ns.u_bc = local_arrays["u_bc"]
-        ns.forcing = self._forcing
-        ns.sponge_ref = local_arrays["sponge_ref"] if self._has_sponge_ref else None
-        ns._convect = sem_l.convect if ns.solver.dealias else sem_l.convect_colloc_v
-        ns._kdiag_local = sem_l.stiffness_diag()
-        return ns
+        return NavierStokes(
+            sem_l,
+            viscosity=self.ns_kwargs.get("viscosity", 1.0),
+            dt=self.ns_kwargs.get("dt", 1e-3),
+            u_bc=local_arrays["u_bc"],
+            forcing=self._forcing,
+            sponge_ref=(
+                local_arrays["sponge_ref"] if self._has_sponge_ref else None
+            ),
+            solver=self.ns_kwargs.get("solver", SolverConfig()),
+            mixed_precision=self.ns_kwargs.get("mixed_precision", False),
+            u_bc_fn=self.ns_kwargs.get("u_bc_fn", None),
+        )
 
     # ------------------------------------------------------------------
     def state_spec(self):
