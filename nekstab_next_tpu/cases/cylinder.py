@@ -43,6 +43,10 @@ class CylinderCase:
     dt: Optional[float] = None
     target_cfl: float = 0.5
     solver: SolverConfig = SolverConfig()
+    dtype: Optional[object] = None  # None -> SEM default (f64); pass
+    # jnp.float32 for the TPU-native single-precision compute path (pair
+    # with f32-reachable solver tolerances, e.g. 1e-5/1e-6)
+    mixed_precision: bool = False
 
     def __post_init__(self):
         self.mesh = cylinder_mesh(
@@ -54,14 +58,14 @@ class CylinderCase:
             outflow_half_angle=self.outflow_half_angle,
         )
         m = self.mesh
-        self.sem = SEM(m)
+        self.sem = SEM(m) if self.dtype is None else SEM(m, dtype=self.dtype)
         r = np.sqrt(m.x**2 + m.y**2)
 
         # freestream Dirichlet values on the outer arc (wall stays 0)
         ubc = np.zeros(m.x.shape + (2,))
         outer = m.dirichlet_nodes & (r > 1.0)
         ubc[outer, 0] = 1.0
-        self.u_bc = jnp.asarray(ubc)
+        self.u_bc = jnp.asarray(ubc, dtype=self.sem.dtype)
 
         # radial sponge toward the freestream + masked inner product
         if self.sponge_strength > 0:
@@ -71,7 +75,8 @@ class CylinderCase:
             )
             self.sem.set_sponge(lam)
             self.sponge_ref = jnp.asarray(
-                np.stack([np.ones_like(m.x), np.zeros_like(m.x)], axis=-1)
+                np.stack([np.ones_like(m.x), np.zeros_like(m.x)], axis=-1),
+                dtype=self.sem.dtype,
             )
         else:
             self.sponge_ref = None
@@ -88,11 +93,12 @@ class CylinderCase:
             u_bc=self.u_bc,
             sponge_ref=self.sponge_ref,
             solver=self.solver,
+            mixed_precision=self.mixed_precision,
         )
 
     def uniform_flow(self) -> jnp.ndarray:
         """Freestream initial condition honoring the wall BC."""
         m = self.mesh
         u = np.stack([np.ones_like(m.x), np.zeros_like(m.x)], axis=-1)
-        u = jnp.asarray(u) * self.sem.vmask + self.u_bc
+        u = jnp.asarray(u, dtype=self.sem.dtype) * self.sem.vmask + self.u_bc
         return u
