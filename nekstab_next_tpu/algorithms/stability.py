@@ -45,6 +45,19 @@ def velocity_space(sem, masked: bool = True) -> VectorSpace:
     return VectorSpace(dot)
 
 
+def coupled_space(sem, masked: bool = True) -> VectorSpace:
+    """Energy inner product over coupled (velocity, scalars) tuples — the
+    reference's k_dot with its temperature/passive-scalar contributions
+    (core/krylov_subspace.f90:26-60 sums glsc3 over u,v,w and t(:,1..nof))."""
+
+    def dot(a, b):
+        au, aT = a
+        bu, bT = b
+        return sem.inner(au, bu, masked=masked) + sem.inner(aT, bT, masked=masked)
+
+    return VectorSpace(dot)
+
+
 @dataclasses.dataclass
 class StabilityResult:
     mu: np.ndarray  # propagator-plane eigenvalues (complex)
@@ -59,10 +72,12 @@ class StabilityResult:
         return complex(self.lam[i])
 
 
-def _make_operator(ns, base_u, base_p, nsteps, floquet):
+def _make_operator(ns, base_u, base_p, nsteps, floquet, base_T=None):
     if floquet:
-        return FloquetOperator(ns, base_u, base_p=base_p, nsteps=nsteps)
-    return LinearizedOperator(ns, base_u, base_p=base_p, nsteps=nsteps)
+        return FloquetOperator(ns, base_u, base_p=base_p, nsteps=nsteps,
+                               base_T=base_T)
+    return LinearizedOperator(ns, base_u, base_p=base_p, nsteps=nsteps,
+                              base_T=base_T)
 
 
 def linear_stability_analysis(
@@ -81,16 +96,26 @@ def linear_stability_analysis(
     seed: int = 1234,
     x0: Optional[jnp.ndarray] = None,
     nmodes_out: Optional[int] = None,
+    base_T: Optional[jnp.ndarray] = None,
 ) -> StabilityResult:
     """Leading direct/adjoint eigenmodes of the linearized flow.
 
     ``mode='adjoint'`` runs Krylov-Schur on the adjoint propagator (the
-    reference's transpose flag to ``eigs``, core/linear_stab.f90:66)."""
-    op = _make_operator(ns, base_u, base_p, nsteps, floquet)
+    reference's transpose flag to ``eigs``, core/linear_stab.f90:66).
+
+    With a thermal stepper (``ns.nscal > 0``) the Krylov vectors are coupled
+    ``(velocity, scalars)`` tuples and ``base_T`` supplies the base scalar
+    field; modes come back as tuples too."""
+    op = _make_operator(ns, base_u, base_p, nsteps, floquet, base_T=base_T)
+    coupled = ns.nscal > 0
     matvec = op.matvec if mode == "direct" else op.rmatvec
-    space = velocity_space(ns.sem)
+    space = coupled_space(ns.sem) if coupled else velocity_space(ns.sem)
     if x0 is None:
         x0 = velocity_noise(ns.sem, seed=seed)
+        if coupled:
+            xT = velocity_noise(ns.sem, seed=seed + 1)[..., :1]
+            xT = jnp.concatenate([xT] * ns.nscal, axis=-1) * ns.sem.tmask[..., None]
+            x0 = (x0, xT)
     res = eigs(
         matvec, space, x0, k_dim=k_dim, nev=nev, tol=tol,
         schur_del=schur_del, max_restarts=max_restarts,
@@ -102,7 +127,7 @@ def linear_stability_analysis(
     for i in range(nout):
         re, im = res.mode(i)
         nrm = float(np.sqrt(space.dot(re, re) + space.dot(im, im)))
-        modes.append((re / nrm, im / nrm))
+        modes.append((space.scale(1.0 / nrm, re), space.scale(1.0 / nrm, im)))
     return StabilityResult(
         mu=res.eigenvalues,
         lam=lam,

@@ -78,8 +78,10 @@ class SolverConfig:
     bdf_order: int = 3  # BDF3/EXT3 (reference uses Nek TORDER=3)
     pressure_tol: float = 1e-8  # .par pressure residualTol
     velocity_tol: float = 1e-9  # .par velocity residualTol
+    scalar_tol: float = 1e-9  # temperature/passive-scalar Helmholtz solves
     pressure_maxiter: int = 2000
     velocity_maxiter: int = 500
+    scalar_maxiter: int = 500
     dealias: bool = True  # over-integration of convection (Nek lxd = 3/2 lx1)
     fdm_precond: bool = True  # tensor-product fast-diagonalization element
     # preconditioner for the elliptic solves (ops/fdm.py); False -> Jacobi

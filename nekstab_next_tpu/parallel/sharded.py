@@ -123,10 +123,14 @@ class ShardedContext:
         )
 
     # ------------------------------------------------------------------
-    def state_spec(self):
+    def state_spec(self, thermal: bool = False):
         a = self.axis
+        extra = (
+            dict(T=P(a), tlag=P(None, a), ntlag=P(None, a)) if thermal else {}
+        )
         return FlowState(
-            u=P(a), p=P(a), ulag=P(None, a), nlag=P(None, a), time=P(), step=P()
+            u=P(a), p=P(a), ulag=P(None, a), nlag=P(None, a), time=P(),
+            step=P(), **extra,
         )
 
     def field_spec(self):

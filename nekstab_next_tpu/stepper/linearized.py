@@ -41,9 +41,14 @@ def _zeros_like(tree):
 
 
 class LinearizedOperator:
-    """Tangent propagator  q -> D Phi_T(base) q  on velocity fields, around a
-    frozen steady base flow (the reference's ``exponential_prop``,
-    core/linear_operators.f90:17-23)."""
+    """Tangent propagator  q -> D Phi_T(base) q  around a frozen steady base
+    flow (the reference's ``exponential_prop``, core/linear_operators.f90:
+    17-23).
+
+    Velocity-only steppers act on velocity fields; steppers with scalars
+    (``ns.nscal > 0``) act on coupled ``(u, T)`` tuples — the Boussinesq/
+    thermal analog of the reference's (vx,vy,vz,t) ``krylov_vector`` block
+    (core/krylov_subspace.f90:12-17)."""
 
     def __init__(
         self,
@@ -52,22 +57,34 @@ class LinearizedOperator:
         base_p: Optional[jnp.ndarray] = None,
         nsteps: int = 100,
         t0: float = 0.0,
+        base_T: Optional[jnp.ndarray] = None,
     ):
         self.ns = ns
         self.sem = ns.sem
         self.nsteps = int(nsteps)
         self.T = self.nsteps * ns.dt
+        self.coupled = ns.nscal > 0
         s = ns.sem
         base_u = base_u.astype(s.dtype)
         if base_p is None:
             base_p = jnp.zeros(base_u.shape[:-1], dtype=s.dtype)
-        E0 = ns._explicit_weak(base_u, jnp.asarray(t0, s.dtype))
+        if self.coupled and base_T is None:
+            base_T = jnp.zeros(s.bm.shape + (ns.nscal,), dtype=s.dtype)
+        E0 = ns._explicit_weak(base_u, jnp.asarray(t0, s.dtype), T=base_T)
         base_fields = (
             base_u,
             base_p.astype(s.dtype),
             jnp.stack([base_u, base_u]),
             jnp.stack([E0, E0]),
         )
+        if self.coupled:
+            base_T = base_T.astype(s.dtype)
+            ET0 = ns._explicit_scalar(base_u, base_T, jnp.asarray(t0, s.dtype))
+            base_fields = base_fields + (
+                base_T,
+                jnp.stack([base_T, base_T]),
+                jnp.stack([ET0, ET0]),
+            )
         # one linearization per BDF-ramp stage; residuals stored once
         self._lin = []
         for k in range(3):
@@ -80,13 +97,23 @@ class LinearizedOperator:
         self._rmatvec = None  # built lazily (needs one transpose trace)
 
     # -- direct --------------------------------------------------------
-    def _apply(self, q: jnp.ndarray) -> jnp.ndarray:
-        df = (
-            q,
-            jnp.zeros_like(self._template[1]),
-            jnp.zeros_like(self._template[2]),
-            jnp.zeros_like(self._template[3]),
+    def _tangent0(self, q):
+        """Zero-history tangent field tuple seeded with q (u or (u, T))."""
+        t = self._template
+        if self.coupled:
+            qu, qT = q
+            return (
+                qu, jnp.zeros_like(t[1]), jnp.zeros_like(t[2]),
+                jnp.zeros_like(t[3]),
+                qT, jnp.zeros_like(t[5]), jnp.zeros_like(t[6]),
+            )
+        return (
+            q, jnp.zeros_like(t[1]), jnp.zeros_like(t[2]),
+            jnp.zeros_like(t[3]),
         )
+
+    def _apply(self, q):
+        df = self._tangent0(q)
         n = self.nsteps
         if n >= 1:
             df = self._lin[0](df)
@@ -97,23 +124,40 @@ class LinearizedOperator:
                 return self._lin[2](c), None
 
             df, _ = jax.lax.scan(body, df, None, length=n - 2)
+        if self.coupled:
+            return (df[0], df[4])
         return df[0]
 
-    def matvec(self, q: jnp.ndarray) -> jnp.ndarray:
+    def matvec(self, q):
         """Direct map: one compiled propagator application (the hot loop of
         SURVEY.md section 3.2)."""
         return self._matvec(q)
 
     # -- adjoint -------------------------------------------------------
-    def rmatvec(self, w: jnp.ndarray) -> jnp.ndarray:
+    def _mass_weight(self, w):
+        bm = self.sem.bm[..., None]
+        if self.coupled:
+            return (w[0] * bm, w[1] * bm)
+        return w * bm
+
+    def _mass_unweight(self, w):
+        bm = self.sem.bm[..., None]
+        if self.coupled:
+            return (w[0] / bm, w[1] / bm)
+        return w / bm
+
+    def rmatvec(self, w):
         """Adjoint in the energy product: M* = B^{-1} M^T B (B = mass)."""
         if self._rmatvec is None:
-            bm = self.sem.bm[..., None]
-            transpose = jax.linear_transpose(self._apply, self._template[0])
+            example = (
+                (self._template[0], self._template[4])
+                if self.coupled else self._template[0]
+            )
+            transpose = jax.linear_transpose(self._apply, example)
 
             def rmv(w_):
-                (ct,) = transpose(w_ * bm)
-                return ct / bm
+                (ct,) = transpose(self._mass_weight(w_))
+                return self._mass_unweight(ct)
 
             self._rmatvec = jax.jit(rmv)
         return self._rmatvec(w)
@@ -136,35 +180,50 @@ class FloquetOperator:
         nsteps: int = 100,
         t0: float = 0.0,
         remat: bool = True,
+        base_T: Optional[jnp.ndarray] = None,
     ):
         self.ns = ns
         self.sem = ns.sem
         self.nsteps = int(nsteps)
         self.T = self.nsteps * ns.dt
+        self.coupled = ns.nscal > 0
         s = ns.sem
 
         step = ns.step
         if remat:
             step = jax.checkpoint(step)
 
-        def prop(u0):
-            st = initial_state(u0, p=base_p, time=t0, dtype=s.dtype)
+        if self.coupled and base_T is None:
+            base_T = jnp.zeros(s.bm.shape + (ns.nscal,), dtype=s.dtype)
+
+        def prop(q0):
+            if self.coupled:
+                u0, T0 = q0
+                st = initial_state(u0, p=base_p, time=t0, dtype=s.dtype, T=T0)
+            else:
+                st = initial_state(q0, p=base_p, time=t0, dtype=s.dtype)
 
             def body(c, _):
                 return step(c), None
 
             out, _ = jax.lax.scan(body, st, None, length=self.nsteps)
-            return out.u
+            return (out.u, out.T) if self.coupled else out.u
 
         self._prop = prop
-        self._base_u = base_u.astype(s.dtype)
+        self._base = (
+            (base_u.astype(s.dtype), base_T.astype(s.dtype))
+            if self.coupled else base_u.astype(s.dtype)
+        )
         self._matvec = None
         self._rmatvec = None
 
     def _build(self):
         if self._matvec is None:
-            primal, lin = jax.linearize(self._prop, self._base_u)
-            self.monodromy_drift = self.sem.norm(primal - self._base_u)
+            primal, lin = jax.linearize(self._prop, self._base)
+            if self.coupled:
+                self.monodromy_drift = self.sem.norm(primal[0] - self._base[0])
+            else:
+                self.monodromy_drift = self.sem.norm(primal - self._base)
             self._lin = lin
             self._matvec = jax.jit(lin)
         return self._matvec
@@ -172,15 +231,26 @@ class FloquetOperator:
     def matvec(self, q):
         return self._build()(q)
 
+    def _mass_weight(self, w):
+        bm = self.sem.bm[..., None]
+        if self.coupled:
+            return (w[0] * bm, w[1] * bm)
+        return w * bm
+
+    def _mass_unweight(self, w):
+        bm = self.sem.bm[..., None]
+        if self.coupled:
+            return (w[0] / bm, w[1] / bm)
+        return w / bm
+
     def rmatvec(self, w):
         if self._rmatvec is None:
             self._build()
-            bm = self.sem.bm[..., None]
-            transpose = jax.linear_transpose(self._lin, self._base_u)
+            transpose = jax.linear_transpose(self._lin, self._base)
 
             def rmv(w_):
-                (ct,) = transpose(w_ * bm)
-                return ct / bm
+                (ct,) = transpose(self._mass_weight(w_))
+                return self._mass_unweight(ct)
 
             self._rmatvec = jax.jit(rmv)
         return self._rmatvec(w)

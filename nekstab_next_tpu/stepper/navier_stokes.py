@@ -63,6 +63,21 @@ class NavierStokes:
               (user hook, the reference's ``nekStab_forcing``)
     sponge_ref : reference field toward which the sponge damps (DNS) — for
               perturbation solves pass zeros (reference forcing.f90:35-50)
+
+    Temperature / passive scalars (the reference's heat solver + ``ifto/
+    ifpsco`` machinery, core/nek_vectors.f90:209-362, forcing.f90:54-79):
+
+    scalar_diff : per-scalar diffusivities (alpha_i); enables the coupled
+              advection-diffusion solve  dT/dt + u.grad T = alpha lap T + q
+    t_bc : (nelem, n, n, nscal) Dirichlet values at tmask==0 nodes
+    t_forcing : optional ``q(u, T, t) -> (nelem,n,n,nscal)`` scalar source
+    buoyancy : optional ``b(T) -> (nelem,n,n,ndim)`` body acceleration added
+              to the momentum equation (Boussinesq coupling); because the
+              coupled step is one differentiable function, its ``jax.jvp``/
+              ``linear_transpose`` are the exact coupled linearized/adjoint
+              operators (thermal instability analyses for free)
+    sponge_ref_T : scalar field the sponge damps T toward (reference
+              ``fct`` temperature sponge, forcing.f90:54-79)
     """
 
     def __init__(
@@ -76,6 +91,11 @@ class NavierStokes:
         solver: SolverConfig = SolverConfig(),
         mixed_precision: bool = False,
         u_bc_fn: Optional[Callable] = None,
+        scalar_diff: Optional[Tuple[float, ...]] = None,
+        t_bc: Optional[jnp.ndarray] = None,
+        t_forcing: Optional[Callable] = None,
+        buoyancy: Optional[Callable] = None,
+        sponge_ref_T: Optional[jnp.ndarray] = None,
     ):
         self.sem = sem
         self.ndim = sem.ndim
@@ -97,6 +117,21 @@ class NavierStokes:
         self.sponge_ref = sponge_ref
         self._convect = s.convect if solver.dealias else s.convect_colloc_v
 
+        # temperature / passive scalars
+        self.scalar_diff = tuple(float(a) for a in scalar_diff) if scalar_diff else ()
+        self.nscal = len(self.scalar_diff)
+        self.t_forcing = t_forcing
+        self.buoyancy = buoyancy
+        self.sponge_ref_T = sponge_ref_T
+        if self.nscal:
+            tmaskc = s.tmask[..., None]
+            self.t_bc = (
+                jnp.zeros(s.bm.shape + (self.nscal,), dtype=s.dtype)
+                if t_bc is None else (1.0 - tmaskc) * t_bc.astype(s.dtype)
+            )
+        else:
+            self.t_bc = None
+
         # local operator diagonal for Jacobi preconditioning (assembled
         # inside elliptic_solve)
         self._kdiag_local = s.stiffness_diag()
@@ -110,13 +145,14 @@ class NavierStokes:
             self.mixed = MixedPrecision(s)
 
     # ------------------------------------------------------------------
-    def _explicit_weak(self, u: jnp.ndarray, t: jnp.ndarray, fc=None) -> jnp.ndarray:
+    def _explicit_weak(self, u: jnp.ndarray, t: jnp.ndarray, fc=None, T=None) -> jnp.ndarray:
         """Weak explicit terms E = -C(u)u + B f(u,t) + B fc (local form).
 
         ``fc`` is an explicit pointwise acceleration field — the equivalent of
         the reference's accumulated forcing arrays ``fcx/fcy`` applied through
         the ``userf`` hook (core/forcing.f90:2-33); SFD/TDF/BoostConv and the
-        resolvent's harmonic forcing inject through it."""
+        resolvent's harmonic forcing inject through it.  ``T`` feeds the
+        optional Boussinesq buoyancy coupling."""
         s = self.sem
         conv = jnp.stack(
             [self._convect(u, u[..., d]) for d in range(u.shape[-1])], axis=-1
@@ -128,8 +164,29 @@ class NavierStokes:
             E = E + bm * lam * (self.sponge_ref - u)
         if self.forcing is not None:
             E = E + bm * self.forcing(u, t)
+        if self.buoyancy is not None and T is not None:
+            E = E + bm * self.buoyancy(T)
         if fc is not None:
             E = E + bm * fc
+        return E
+
+    def _explicit_scalar(self, u, T, t, fcT=None) -> jnp.ndarray:
+        """Weak explicit scalar terms E_T = -C(u)T + B q(u,T,t) + B fcT,
+        per scalar (the reference's heat/passive-scalar convection plus the
+        ``nekStab_forcing_temp`` hook, forcing.f90:54-79)."""
+        s = self.sem
+        conv = jnp.stack(
+            [self._convect(u, T[..., i]) for i in range(T.shape[-1])], axis=-1
+        )
+        E = -conv
+        bm = s.bm[..., None]
+        if self.sponge_ref_T is not None:
+            lam = s.sponge[..., None]
+            E = E + bm * lam * (self.sponge_ref_T - T)
+        if self.t_forcing is not None:
+            E = E + bm * self.t_forcing(u, T, t)
+        if fcT is not None:
+            E = E + bm * fcT
         return E
 
     # ------------------------------------------------------------------
@@ -141,22 +198,37 @@ class NavierStokes:
         the reference instead recomputes nsteps host-side each iteration,
         core/newton_krylov.f90:72)."""
         k = jnp.minimum(state.step, 2)  # 0,1,2 -> BDF1,2,3
+        dt_ = self.dt if dt is None else dt
+        if self.nscal:
+            fields = (state.u, state.p, state.ulag, state.nlag,
+                      state.T, state.tlag, state.ntlag)
+            u, p, ulag, nlag, T, tlag, ntlag = self._core(
+                fields, state.time, k, fc=fc, dt=dt
+            )
+            return FlowState(
+                u=u, p=p, ulag=ulag, nlag=nlag,
+                time=state.time + dt_, step=state.step + 1,
+                T=T, tlag=tlag, ntlag=ntlag,
+            )
         fields = (state.u, state.p, state.ulag, state.nlag)
         u, p, ulag, nlag = self._core(fields, state.time, k, fc=fc, dt=dt)
-        dt_ = self.dt if dt is None else dt
         return FlowState(
             u=u, p=p, ulag=ulag, nlag=nlag,
             time=state.time + dt_, step=state.step + 1,
         )
 
-    def _core(self, fields: Tuple, time, k, fc=None, dt=None) -> Tuple:
-        """One step on the raw field tuple (u, p, ulag, nlag).
+    def _core(self, fields: Tuple, time, k, fc=None, dt=None, fcT=None) -> Tuple:
+        """One step on the raw field tuple (u, p, ulag, nlag[, T, tlag, ntlag]).
 
         ``k`` selects the BDF/EXT order (0,1,2 -> BDF1,2,3); it may be a
         traced value (nonlinear scan) or a concrete int — the linearized
         operator (linearized.py) linearizes this function at each concrete k
         so the startup ramp is frozen into three compiled tangent maps."""
-        u0, p0, ulag0, nlag0 = fields
+        if self.nscal:
+            u0, p0, ulag0, nlag0, T0, tlag0, ntlag0 = fields
+        else:
+            u0, p0, ulag0, nlag0 = fields
+            T0 = None
         s = self.sem
         if dt is None:
             dt = self.dt
@@ -168,7 +240,7 @@ class NavierStokes:
         b = bdfs[k]
         a = exts[k]
 
-        E0 = self._explicit_weak(u0, time, fc=fc)
+        E0 = self._explicit_weak(u0, time, fc=fc, T=T0)
         bm = s.bm[..., None]
 
         # weak RHS for the Helmholtz solve
@@ -246,12 +318,47 @@ class NavierStokes:
         u_new = vmask * u_new + u_bc
         p_new = p0 + dp
 
-        return (
+        out = (
             u_new,
             p_new,
             jnp.stack([u0, ulag0[0]]),
             jnp.stack([E0, nlag0[0]]),
         )
+
+        # ---- temperature / passive scalars ------------------------------
+        # advection-diffusion Helmholtz solves, one per scalar (the
+        # reference's heat solver inside nek_advance; diffusivities play the
+        # role of 1/(Re Pr) etc.).  Convected by u^n (same EXTk treatment as
+        # the momentum convection).
+        if self.nscal:
+            ET0 = self._explicit_scalar(u0, T0, time, fcT=fcT)
+            rhsT = (
+                (1.0 / dt) * bm * (b[0] * T0 + b[1] * tlag0[0] + b[2] * tlag0[1])
+                + a[0] * ET0 + a[1] * ntlag0[0] + a[2] * ntlag0[1]
+            )
+            tmask = s.tmask
+            Ti = []
+            for i, alpha in enumerate(self.scalar_diff):
+                local = partial(s.helmholtz_local, h1=alpha, h2=h2)
+                tb = self.t_bc[..., i]
+                wT = elliptic_solve(
+                    s,
+                    local,
+                    rhsT[..., i] - local(tb),
+                    tmask,
+                    tol=self.solver.scalar_tol,
+                    maxiter=self.solver.scalar_maxiter,
+                    diag_local=alpha * self._kdiag_local + h2 * s.bm,
+                    fdm=(alpha, h2) if self.solver.fdm_precond else None,
+                )
+                Ti.append(wT + tb)
+            T_new = jnp.stack(Ti, axis=-1)
+            out = out + (
+                T_new,
+                jnp.stack([T0, tlag0[0]]),
+                jnp.stack([ET0, ntlag0[0]]),
+            )
+        return out
 
     # ------------------------------------------------------------------
     def advance(self, state: FlowState, nsteps: int, dt=None) -> FlowState:
