@@ -31,10 +31,17 @@ import to experiment in float32.
 
 import os as _os
 
-if not _os.environ.get("NEKSTAB_X32"):
-    import jax as _jax
+import jax as _jax
 
+if not _os.environ.get("NEKSTAB_X32"):
     _jax.config.update("jax_enable_x64", True)
+
+# TPU matmuls default to bfloat16 inputs (DEFAULT precision), which corrupts
+# the f32 compute path: the tensor-product derivative operators lose ~3
+# decimal digits and the elliptic CG can stall below bf16 resolution.  The
+# SEM operators are tiny matmuls — full-f32 (3-pass) precision costs little
+# and is required for solver tolerances of 1e-5..1e-6.
+_jax.config.update("jax_default_matmul_precision", "highest")
 
 __version__ = "0.1.0"
 

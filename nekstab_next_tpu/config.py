@@ -85,6 +85,11 @@ class SolverConfig:
     dealias: bool = True  # over-integration of convection (Nek lxd = 3/2 lx1)
     fdm_precond: bool = True  # tensor-product fast-diagonalization element
     # preconditioner for the elliptic solves (ops/fdm.py); False -> Jacobi
+    warm_start: bool = True  # residual-correction warm start of the elliptic
+    # solves from the previous step (velocity: from u^n; pressure: from the
+    # carried dp) — Nek residualProj analog.  NOTE: tolerances then apply to
+    # the *correction* solve, i.e. the absolute step accuracy improves at
+    # equal tol; loosen tol to trade that margin back into speed.
 
 
 @dataclasses.dataclass(frozen=True)

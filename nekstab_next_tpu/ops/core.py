@@ -38,6 +38,32 @@ from ..mesh.gll import (
 from ..mesh.mesh import Mesh2D
 
 
+import os as _os
+
+# The padded-gather dssum avoids scatter-adds but triggers pathologically
+# slow compiles on the remote-TPU backend (>15 min vs 40 s at identical
+# scale), so it is opt-in; the scatter (segment_sum) form is the default.
+_GATHER_DSSUM = bool(_os.environ.get("NEKSTAB_GATHER_DSSUM"))
+
+
+def gather_table(gid_flat: np.ndarray, nglobal: int) -> np.ndarray:
+    """Per-global-node padded list of contributing local flat indices.
+
+    Lets ``dssum`` run as two gathers + a small reduction instead of a
+    scatter-add — scatters serialize on TPU, gathers vectorize.  Pad entries
+    point at an appended zero slot (index ``gid_flat.size``)."""
+    order_idx = np.argsort(gid_flat, kind="stable")
+    sorted_gid = gid_flat[order_idx]
+    starts = np.searchsorted(sorted_gid, np.arange(nglobal))
+    counts = np.diff(np.append(starts, gid_flat.size))
+    mmax = int(counts.max())
+    tbl = np.full((nglobal, mmax), gid_flat.size, dtype=np.int64)
+    for k in range(mmax):
+        sel = counts > k
+        tbl[sel, k] = order_idx[starts[sel] + k]
+    return tbl
+
+
 class SEM:
     """Device-resident spectral-element operator context for one mesh.
 
@@ -79,6 +105,11 @@ class SEM:
         np.add.at(bmg, mesh.gid.reshape(-1), mesh.bm.reshape(-1))
         self.binv_assembled = f(1.0 / bmg[mesh.gid])
         self.inv_mult = f(1.0 / mesh.mult)
+
+        # gather-based dssum table (see gather_table / dssum)
+        self._gs_table = jnp.asarray(
+            gather_table(mesh.gid.reshape(-1), mesh.nglobal), dtype=jnp.int32
+        )
 
         # dealiasing (3/2 over-integration) operators
         nd = int(math.ceil(3 * n / 2))
@@ -162,9 +193,17 @@ class SEM:
 
         Accepts trailing component axes: (nelem, n, n, ...)."""
         flat = u.reshape((self.gid.shape[0],) + u.shape[3:])
-        g = jax.ops.segment_sum(flat, self.gid, num_segments=self.nglobal)
-        if self.axis_name is not None:
-            g = jax.lax.psum(g, self.axis_name)
+        if self.axis_name is not None or not _GATHER_DSSUM:
+            g = jax.ops.segment_sum(flat, self.gid, num_segments=self.nglobal)
+            if self.axis_name is not None:
+                g = jax.lax.psum(g, self.axis_name)
+        else:
+            # gather-based sum: contributions per global node via the padded
+            # index table (scatters serialize on TPU; gathers don't)
+            ext = jnp.concatenate(
+                [flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)], axis=0
+            )
+            g = ext[self._gs_table].sum(axis=1)
         return g[self.gid].reshape(u.shape)
 
     @staticmethod

@@ -56,6 +56,12 @@ class SEM3:
         self.binv_assembled = f(1.0 / bmg[mesh.gid])
         self.inv_mult = f(1.0 / mesh.mult)
 
+        from .core import gather_table
+
+        self._gs_table = jnp.asarray(
+            gather_table(mesh.gid.reshape(-1), mesh.nglobal), dtype=jnp.int32
+        )
+
         # dealiasing (3/2 over-integration)
         nd = int(math.ceil(3 * n / 2))
         self.nd = nd
@@ -126,10 +132,18 @@ class SEM3:
 
     # ------------------------------------------------------------------
     def dssum(self, u: jnp.ndarray) -> jnp.ndarray:
+        from .core import _GATHER_DSSUM
+
         flat = u.reshape((self.gid.shape[0],) + u.shape[4:])
-        g = jax.ops.segment_sum(flat, self.gid, num_segments=self.nglobal)
-        if self.axis_name is not None:
-            g = jax.lax.psum(g, self.axis_name)
+        if self.axis_name is not None or not _GATHER_DSSUM:
+            g = jax.ops.segment_sum(flat, self.gid, num_segments=self.nglobal)
+            if self.axis_name is not None:
+                g = jax.lax.psum(g, self.axis_name)
+        else:
+            ext = jnp.concatenate(
+                [flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)], axis=0
+            )
+            g = ext[self._gs_table].sum(axis=1)
         return g[self.gid].reshape(u.shape)
 
     @staticmethod

@@ -123,11 +123,13 @@ class ShardedContext:
         )
 
     # ------------------------------------------------------------------
-    def state_spec(self, thermal: bool = False):
+    def state_spec(self, thermal: bool = False, warm: bool = True):
         a = self.axis
         extra = (
             dict(T=P(a), tlag=P(None, a), ntlag=P(None, a)) if thermal else {}
         )
+        if warm:
+            extra["dp"] = P(a)
         return FlowState(
             u=P(a), p=P(a), ulag=P(None, a), nlag=P(None, a), time=P(),
             step=P(), **extra,

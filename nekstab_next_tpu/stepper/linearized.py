@@ -85,6 +85,12 @@ class LinearizedOperator:
                 jnp.stack([base_T, base_T]),
                 jnp.stack([ET0, ET0]),
             )
+        # pressure-increment carry: steady base -> zero increment; the
+        # tangent of this slot warm-starts each tangent pressure solve from
+        # the previous step's tangent increment (navier_stokes._core)
+        self.warm = ns.solver.warm_start
+        if self.warm:
+            base_fields = base_fields + (jnp.zeros_like(base_fields[1]),)
         # one linearization per BDF-ramp stage; residuals stored once
         self._lin = []
         for k in range(3):
@@ -102,15 +108,19 @@ class LinearizedOperator:
         t = self._template
         if self.coupled:
             qu, qT = q
-            return (
+            df = (
                 qu, jnp.zeros_like(t[1]), jnp.zeros_like(t[2]),
                 jnp.zeros_like(t[3]),
                 qT, jnp.zeros_like(t[5]), jnp.zeros_like(t[6]),
             )
-        return (
-            q, jnp.zeros_like(t[1]), jnp.zeros_like(t[2]),
-            jnp.zeros_like(t[3]),
-        )
+        else:
+            df = (
+                q, jnp.zeros_like(t[1]), jnp.zeros_like(t[2]),
+                jnp.zeros_like(t[3]),
+            )
+        if self.warm:
+            df = df + (jnp.zeros_like(t[1]),)
+        return df
 
     def _apply(self, q):
         df = self._tangent0(q)
@@ -276,6 +286,8 @@ def make_tangent_propagator(ns: NavierStokes, nsteps: int):
             jnp.stack([base_u, base_u]),
             jnp.stack([E0, E0]),
         )
+        if ns.solver.warm_start:
+            base_fields = base_fields + (jnp.zeros_like(base_p),)
         lins = [
             jax.linearize(
                 partial(ns._core, time=jnp.asarray(0.0, s.dtype), k=k, dt=dt),
@@ -283,12 +295,8 @@ def make_tangent_propagator(ns: NavierStokes, nsteps: int):
             )[1]
             for k in range(min(nsteps, 3))
         ]
-        df = (
-            q,
-            jnp.zeros_like(base_fields[1]),
-            jnp.zeros_like(base_fields[2]),
-            jnp.zeros_like(base_fields[3]),
-        )
+        df = jax.tree.map(jnp.zeros_like, base_fields)
+        df = (q,) + df[1:]
         if nsteps >= 1:
             df = lins[0](df)
         if nsteps >= 2:

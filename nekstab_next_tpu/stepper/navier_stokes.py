@@ -199,22 +199,26 @@ class NavierStokes:
         core/newton_krylov.f90:72)."""
         k = jnp.minimum(state.step, 2)  # 0,1,2 -> BDF1,2,3
         dt_ = self.dt if dt is None else dt
+        carry_dp = state.dp is not None
+        dp_t = (state.dp,) if carry_dp else ()
         if self.nscal:
             fields = (state.u, state.p, state.ulag, state.nlag,
-                      state.T, state.tlag, state.ntlag)
-            u, p, ulag, nlag, T, tlag, ntlag = self._core(
-                fields, state.time, k, fc=fc, dt=dt
-            )
+                      state.T, state.tlag, state.ntlag) + dp_t
+            out = self._core(fields, state.time, k, fc=fc, dt=dt)
+            u, p, ulag, nlag, T, tlag, ntlag = out[:7]
             return FlowState(
                 u=u, p=p, ulag=ulag, nlag=nlag,
                 time=state.time + dt_, step=state.step + 1,
                 T=T, tlag=tlag, ntlag=ntlag,
+                dp=out[7] if carry_dp else None,
             )
-        fields = (state.u, state.p, state.ulag, state.nlag)
-        u, p, ulag, nlag = self._core(fields, state.time, k, fc=fc, dt=dt)
+        fields = (state.u, state.p, state.ulag, state.nlag) + dp_t
+        out = self._core(fields, state.time, k, fc=fc, dt=dt)
+        u, p, ulag, nlag = out[:4]
         return FlowState(
             u=u, p=p, ulag=ulag, nlag=nlag,
             time=state.time + dt_, step=state.step + 1,
+            dp=out[4] if carry_dp else None,
         )
 
     def _core(self, fields: Tuple, time, k, fc=None, dt=None, fcT=None) -> Tuple:
@@ -223,12 +227,23 @@ class NavierStokes:
         ``k`` selects the BDF/EXT order (0,1,2 -> BDF1,2,3); it may be a
         traced value (nonlinear scan) or a concrete int — the linearized
         operator (linearized.py) linearizes this function at each concrete k
-        so the startup ramp is frozen into three compiled tangent maps."""
+        so the startup ramp is frozen into three compiled tangent maps.
+
+        An optional trailing ``dp`` entry (the previous step's pressure
+        increment) warm-starts the elliptic solves in residual-correction
+        form  x = x0 + A^-1(b - A x0) — the reference's Nek ``residualProj``
+        plays this role (examples/cylinder/1cyl.par [PRESSURE] residualProj).
+        Because the correction form is differentiated as a whole, the
+        *tangent* scan warm-starts from the previous tangent increment
+        automatically."""
         if self.nscal:
-            u0, p0, ulag0, nlag0, T0, tlag0, ntlag0 = fields
+            u0, p0, ulag0, nlag0, T0, tlag0, ntlag0 = fields[:7]
+            rest = fields[7:]
         else:
-            u0, p0, ulag0, nlag0 = fields
+            u0, p0, ulag0, nlag0 = fields[:4]
+            rest = fields[4:]
             T0 = None
+        dp0 = rest[0] if rest else None
         s = self.sem
         if dt is None:
             dt = self.dt
@@ -274,10 +289,13 @@ class NavierStokes:
                 maxiter=self.solver.velocity_maxiter,
             )
         else:
-            w = elliptic_solve(
+            # warm start from the current velocity (w ~ u* ~ u^n): solve for
+            # the O(dt) correction only
+            x0v = vmask * (u0 - u_bc) if self.solver.warm_start else 0.0
+            w = x0v + elliptic_solve(
                 s,
                 helm_local,
-                rhs - helm_local(u_bc),
+                rhs - helm_local(u_bc + x0v),
                 vmask,
                 tol=self.solver.velocity_tol,
                 maxiter=self.solver.velocity_maxiter,
@@ -299,10 +317,16 @@ class NavierStokes:
                 coarse=True,
             )
         else:
+            # warm start from the previous pressure increment when the state
+            # carries one (residual-correction form; see _core docstring)
+            x0p = dp0 if (dp0 is not None and self.solver.warm_start) else None
+            rhs_p = -(g0 / dt) * s.bm * divu
+            if x0p is not None:
+                rhs_p = rhs_p - s.stiffness_local(x0p)
             dp = elliptic_solve(
                 s,
                 s.stiffness_local,
-                -(g0 / dt) * s.bm * divu,
+                rhs_p,
                 s.pmask,
                 tol=self.solver.pressure_tol,
                 maxiter=self.solver.pressure_maxiter,
@@ -311,6 +335,8 @@ class NavierStokes:
                 fdm=(1.0, 0.0) if self.solver.fdm_precond else None,
                 coarse=self.solver.fdm_precond,
             )
+            if x0p is not None:
+                dp = dp + x0p
 
         # ---- projection / correction -----------------------------------
         u_new = ustar - (dt / g0) * s.gradv(dp)
@@ -358,6 +384,8 @@ class NavierStokes:
                 jnp.stack([T0, tlag0[0]]),
                 jnp.stack([ET0, ntlag0[0]]),
             )
+        if dp0 is not None:
+            out = out + (dp,)
         return out
 
     # ------------------------------------------------------------------

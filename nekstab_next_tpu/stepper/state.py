@@ -33,10 +33,12 @@ class FlowState:
     T     : (nelem, n, n, nscal)  temperature + passive scalars (optional)
     tlag  : (2, *T.shape)         scalar BDF history (optional)
     ntlag : (2, *T.shape)         scalar explicit-term history (optional)
+    dp    : (nelem, n, n[, n])    previous pressure increment — warm-starts
+                                  the pressure solve (optional)
     """
 
     def __init__(self, u, p, ulag, nlag, time, step, T=None, tlag=None,
-                 ntlag=None):
+                 ntlag=None, dp=None):
         self.u = u
         self.p = p
         self.ulag = ulag
@@ -46,11 +48,12 @@ class FlowState:
         self.T = T
         self.tlag = tlag
         self.ntlag = ntlag
+        self.dp = dp
 
     def tree_flatten(self):
         return (
             self.u, self.p, self.ulag, self.nlag, self.time, self.step,
-            self.T, self.tlag, self.ntlag,
+            self.T, self.tlag, self.ntlag, self.dp,
         ), None
 
     @classmethod
@@ -61,7 +64,7 @@ class FlowState:
         d = dict(
             u=self.u, p=self.p, ulag=self.ulag, nlag=self.nlag,
             time=self.time, step=self.step,
-            T=self.T, tlag=self.tlag, ntlag=self.ntlag,
+            T=self.T, tlag=self.tlag, ntlag=self.ntlag, dp=self.dp,
         )
         d.update(kw)
         return FlowState(**d)
@@ -73,19 +76,23 @@ def initial_state(
     time: float = 0.0,
     dtype=None,
     T: Optional[jnp.ndarray] = None,
+    warm_start: bool = True,
 ) -> FlowState:
     """Fresh state from a velocity field; lag arrays zeroed, step=0 so the
     BDF1/2/3 startup ramp applies (mirrors Nek's restart behaviour that the
     reference relies on when it reseeds each matvec, core/matvec.f90:150-242).
 
     ``T``: optional (nelem, n, n, nscal) scalar block (temperature first),
-    matching the reference's ``t(lv, ldimt)``."""
+    matching the reference's ``t(lv, ldimt)``.  ``warm_start`` allocates the
+    ``dp`` pressure-increment carry used by the stepper's residual-correction
+    warm start (SolverConfig.warm_start)."""
     if dtype is not None:
         u = u.astype(dtype)
     if p is None:
         p = jnp.zeros(u.shape[:-1], dtype=u.dtype)
     ulag = jnp.zeros((2,) + u.shape, dtype=u.dtype)
     nlag = jnp.zeros((2,) + u.shape, dtype=u.dtype)
+    dp = jnp.zeros(u.shape[:-1], dtype=u.dtype) if warm_start else None
     tfields = {}
     if T is not None:
         T = T.astype(u.dtype)
@@ -101,5 +108,6 @@ def initial_state(
         nlag=nlag,
         time=jnp.asarray(time, dtype=u.dtype),
         step=jnp.asarray(0, dtype=jnp.int32),
+        dp=dp,
         **tfields,
     )
