@@ -66,14 +66,18 @@ def read_re2(path: str) -> Re2Data:
     test = struct.unpack("<f", raw[80:84])[0]
     if abs(test - 6.54321) > 1e-4:
         raise ValueError("byte order mismatch (big-endian .re2 not supported)")
-    if ndim != 2:
-        raise NotImplementedError("3-D .re2 reading lands with the hex path")
 
     off = 84
-    per = 1 + 2 * 4  # group + x4 + y4
+    nc = 4 if ndim == 2 else 8
+    per = 1 + ndim * nc  # group + coordinates
     data = np.frombuffer(raw, "<f8", nelem * per, off).reshape(nelem, per)
     off += nelem * per * 8
-    corners = np.stack([data[:, 1:5], data[:, 5:9]], axis=-1)  # (nelem,4,2)
+    if ndim == 2:
+        corners = np.stack([data[:, 1:5], data[:, 5:9]], axis=-1)  # (nelem,4,2)
+    else:
+        corners = np.stack(
+            [data[:, 1:9], data[:, 9:17], data[:, 17:25]], axis=-1
+        )  # (nelem,8,3): x(1:8), y(1:8), z(1:8)
 
     def read_records(off: int):
         cnt = int(np.frombuffer(raw, "<f8", 1, off)[0])
@@ -194,6 +198,8 @@ def mesh_from_re2(
             )
             out[e] = face
 
+    if data.ndim == 3:
+        raise ValueError("3-D mesh: use mesh3_from_re2")
     cbc_map = dict(_CBC_MAP)
     edge_bc = np.empty((nelem, 4), dtype=object)
     edge_bc[:] = None
@@ -216,3 +222,66 @@ def mesh_from_re2(
         edge_bc[e, sd] = bc
 
     return build_mesh(X, Y, edge_bc, order, coord_key=coord_key)
+
+
+# Nek preprocessor face numbers (1..6: eta-, xi+, eta+, xi-, zeta-, zeta+)
+# -> mesh3.face index (0..5: xi-, xi+, eta-, eta+, zeta-, zeta+)
+_NEK_FACE3 = {0: 2, 1: 1, 2: 3, 3: 0, 4: 4, 5: 5}
+
+
+def mesh3_from_re2(
+    path: str,
+    order: int,
+    coord_key: Optional[Callable] = None,
+    bc_override: Optional[Dict[str, "BC"]] = None,
+    boundary_ids: Optional[Dict[int, "BC"]] = None,
+):
+    """3-D analog of :func:`mesh_from_re2` (hex elements, trilinear geometry
+    from the 8 preprocessor corners; curved faces not supported)."""
+    from .mesh3 import Mesh3D, build_mesh_3d  # noqa: F401 (Mesh3D re-export)
+
+    data = read_re2(path)
+    if data.ndim != 3:
+        raise ValueError("2-D mesh: use mesh_from_re2")
+    if data.curves:
+        raise NotImplementedError("curved faces in 3-D .re2 not supported yet")
+    n = order + 1
+    z, _ = gll_points_weights(n)
+    s = (z + 1.0) / 2.0
+    # trilinear shape functions at the GLL grid, preprocessor corner order:
+    # bottom (zeta=0): (-,-) (+,-) (+,+) (-,+), then the top copy
+    xi = s[:, None, None]
+    eta = s[None, :, None]
+    zeta = s[None, None, :]
+    wts = [
+        (1 - xi) * (1 - eta), xi * (1 - eta), xi * eta, (1 - xi) * eta,
+    ]
+    W = np.stack([w * (1 - zeta) for w in wts] + [w * zeta for w in wts])
+    # (8, n, n, n); coords: corners (nelem, 8, 3)
+    XYZ = np.einsum("cijk,ecd->deijk", W, data.corners)  # (3, nelem, n,n,n)
+
+    nelem = data.nelem
+    face_bc = np.empty((nelem, 6), dtype=object)
+    face_bc[:] = None
+    cbc_map = dict(_CBC_MAP)
+    for (e, sd), (cbc, p) in data.bcs.items():
+        if cbc in ("P", "E", ""):
+            continue
+        face = _NEK_FACE3[sd]
+        if cbc == "MSH":
+            bid = int(p[4])
+            if boundary_ids is None or bid not in boundary_ids:
+                raise ValueError(
+                    f"boundary-ID records need boundary_ids (el {e} face "
+                    f"{face} id {bid})"
+                )
+            face_bc[e, face] = boundary_ids[bid]
+            continue
+        bc = (bc_override or {}).get(cbc) or cbc_map.get(cbc.encode()[:3]) \
+            or cbc_map.get(cbc.encode()[:1])
+        if bc is None:
+            raise ValueError(f"unmapped cbc {cbc!r} at element {e} face {face}")
+        face_bc[e, face] = bc
+
+    return build_mesh_3d(XYZ[0], XYZ[1], XYZ[2], face_bc, order,
+                         coord_key=coord_key)

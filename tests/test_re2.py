@@ -12,20 +12,20 @@ import numpy as np
 import pytest
 
 from nekstab_next_tpu.mesh.mesh import BoundaryCondition as BC
-from nekstab_next_tpu.mesh.re2 import mesh_from_re2, read_re2
+from nekstab_next_tpu.mesh.re2 import mesh3_from_re2, mesh_from_re2, read_re2
 
 REF = "/root/reference/examples"
 
 
 def _write_re2(path, corners, curves, bcs, version=b"#v002"):
-    """corners: (nelem,4,2); curves/bcs: lists of (eg, side, params, tag)."""
-    nel = corners.shape[0]
-    hdr = (version + f" {nel:8d}  2 {nel:8d} hdr".encode()).ljust(80)
+    """corners: (nelem,4|8,2|3); curves/bcs: lists of (eg, side, params, tag)."""
+    nel, nc, nd = corners.shape
+    hdr = (version + f" {nel:8d}  {nd} {nel:8d} hdr".encode()).ljust(80)
     out = [hdr, struct.pack("<f", 6.54321)]
     for e in range(nel):
-        rec = np.zeros(9)
-        rec[1:5] = corners[e, :, 0]
-        rec[5:9] = corners[e, :, 1]
+        rec = np.zeros(1 + nc * nd)
+        for d in range(nd):
+            rec[1 + d * nc:1 + (d + 1) * nc] = corners[e, :, d]
         out.append(rec.astype("<f8").tobytes())
     for section in (curves, bcs):
         out.append(np.array([len(section)], "<f8").tobytes())
@@ -61,6 +61,31 @@ def test_synthetic_two_element(tmp_path):
     assert m.nglobal == 45
     assert m.jac.min() > 0
     np.testing.assert_allclose(m.integrate(np.ones_like(m.x)), 2.0, rtol=1e-12)
+
+
+def test_synthetic_3d_two_hex(tmp_path):
+    # two unit cubes stacked in x; Nek preprocessor corner order: bottom
+    # face CCW from (-,-), then the top copy
+    base = np.array([
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ], float)
+    corners = np.stack([base, base + [1, 0, 0]])
+    # Nek faces: 1=eta-, 2=xi+, 3=eta+, 4=xi-, 5=zeta-, 6=zeta+
+    bcs = []
+    for e in (1, 2):
+        for sd in (1, 3, 5, 6):
+            bcs.append((e, sd, [], b"W  "))
+    bcs += [(1, 4, [], b"v  "), (2, 2, [], b"O  ")]
+    p = tmp_path / "two3.re2"
+    _write_re2(str(p), corners, [], bcs)
+    m = mesh3_from_re2(str(p), order=3)
+    assert m.nelem == 2
+    assert m.jac.min() > 0
+    np.testing.assert_allclose(float((m.bm).sum()), 2.0, rtol=1e-12)
+    # inflow face masked, outflow unmasked pressure
+    assert m.vmask.min() == 0.0
+    assert m.pmask.min() == 0.0
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
