@@ -79,7 +79,7 @@ def main():
 
     # ---- 1. base flow --------------------------------------------------
     t0 = time.time()
-    st = initial_state(case.uniform_flow())
+    st = ns.make_state(case.uniform_flow())
     st = jax.jit(lambda s: ns.advance(s, P["settle"]))(st)
     print(f"[cyl] DNS settle {P['settle']} steps done ({time.time()-t0:.0f}s)",
           flush=True)
@@ -98,8 +98,7 @@ def main():
     save_field(os.path.join(args.outdir, "BF_cyl_00001.npz"), base,
                p=result.p, time=0.0, reynolds=args.reynolds)
     bq = boundary_quadrature(case.mesh, tags=(BC.WALL,))
-    fx, fy, _ = surface_force_and_torque(case.sem, bq, base,
-                                         jnp.zeros(case.mesh.x.shape),
+    fx, fy, _ = surface_force_and_torque(case.sem, bq, base, result.p,
                                          viscosity=ns.nu)
     cd = 2.0 * float(fx)  # Cd = Fx / (1/2 rho U^2 D), U = D = 1
     print(f"[cyl] base flow converged res={result.residual:.2e} "

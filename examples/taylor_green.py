@@ -24,7 +24,7 @@ u0, v0, p0 = tg(0.0)
 u = jnp.stack([jnp.asarray(u0), jnp.asarray(v0)], axis=-1)
 dt = 0.01
 ns = NavierStokes(sem, viscosity=nu, dt=dt)
-st = initial_state(u, p=jnp.asarray(p0))
+st = ns.make_state(u, p=sem.p_from_gll(jnp.asarray(p0)) if ns.p_shape != sem.bm.shape else jnp.asarray(p0))
 step = jax.jit(ns.step)
 for k in range(5):
     st = step(st)
@@ -33,4 +33,4 @@ for k in range(5):
     print(f"step {k+1} t={float(st.time):.3f} |u|={float(sem.norm(st.u[...,0])):.6f} "
           f"|ue|={float(sem.norm(jnp.asarray(ue))):.6f} err={err:.3e} "
           f"div={float(sem.norm(sem.div(st.u[...,0], st.u[...,1]))):.2e} "
-          f"|p-pe|={float(sem.norm(st.p - jnp.asarray(pe))):.2e}")
+          f"|p-pe|={float(sem.norm((sem.p_to_gll(st.p) if st.p.shape != pe.shape else st.p) - jnp.asarray(pe))):.2e}")

@@ -76,7 +76,7 @@ def sfd(
         return st, ubar, res
 
     run = jax.jit(chunk_fn)
-    st = initial_state(u0, dtype=s.dtype)
+    st = ns.make_state(u0)
     ubar = st.u
     history = []
     steps = 0
@@ -117,7 +117,7 @@ def boostconv_dns(
     )
 
     advance = jax.jit(lambda st: ns.advance(st, skip))
-    st = initial_state(u0, dtype=s.dtype)
+    st = ns.make_state(u0)
     u_old = st.u
     X: list = []  # input residuals
     Y: list = []  # output residuals (difference between consecutive inputs)
@@ -154,7 +154,7 @@ def boostconv_dns(
                 xi = xi + ci * (Xi - Yi)
         r_prev = r
         u_new = u_old + xi
-        st = initial_state(u_new, p=st.p, time=float(st.time), dtype=s.dtype)
+        st = ns.make_state(u_new, p=st.p, time=float(st.time))
         u_old = u_new
     return FixedPointResult(st.u, st.p, res, False, steps, history)
 
@@ -188,7 +188,7 @@ def tdf(
         return st, ring
 
     run = jax.jit(one_period)
-    st = initial_state(u0, dtype=s.dtype)
+    st = ns.make_state(u0)
     ring = jnp.broadcast_to(st.u, (norbit,) + st.u.shape).copy()
     history = []
     res = np.inf

@@ -95,7 +95,7 @@ def newton_krylov(
     nmv_total = 0
     history = []
     res = np.inf
-    p_final = jnp.zeros(s.bm.shape, dtype=s.dtype)
+    p_final = jnp.zeros(ns.p_shape, dtype=s.dtype)
 
     for it in range(cfg.max_iter):
         dt = T / nsteps

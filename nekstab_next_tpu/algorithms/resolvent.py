@@ -83,7 +83,8 @@ class ResolventOperator:
 
         base_u = base_u.astype(s.dtype)
         base_p = (
-            jnp.zeros(base_u.shape[:-1], dtype=s.dtype) if base_p is None else base_p.astype(s.dtype)
+            jnp.zeros(ns.p_shape, dtype=s.dtype) if base_p is None
+            else base_p.astype(s.dtype)
         )
         E0 = ns._explicit_weak(base_u, jnp.asarray(0.0, s.dtype))
         base_fields = (base_u, base_p, jnp.stack([base_u, base_u]), jnp.stack([E0, E0]))

@@ -58,6 +58,20 @@ def coupled_space(sem, masked: bool = True) -> VectorSpace:
     return VectorSpace(dot)
 
 
+def gradient_energy_norm(sem, u) -> float:
+    """Energy norm of the velocity gradient of a (unit-norm) mode — the
+    reference's spurious-eigenvector detector ``norm_grad``
+    (core/utils.f90:446-486; modes with gradient norm > 1.1 x typical are
+    rejected in ``outpost_ks``, eigensolvers.f90:587-595).  Spurious Arnoldi
+    vectors are rough (noise-dominated), so their H1 content is anomalously
+    high relative to physical modes."""
+    total = 0.0
+    for d in range(u.shape[-1]):
+        g = sem.gradv(u[..., d])
+        total += float(sem.inner(g, g))
+    return float(np.sqrt(total))
+
+
 @dataclasses.dataclass
 class StabilityResult:
     mu: np.ndarray  # propagator-plane eigenvalues (complex)
@@ -67,6 +81,8 @@ class StabilityResult:
     horizon: float
     n_matvecs: int
     eigresult: EigenResult
+    mode_gradient_norms: Optional[np.ndarray] = None  # H1 spurious detector
+    spurious: Optional[np.ndarray] = None  # bool mask (gradient-norm filter)
 
     def leading(self, i: int = 0) -> complex:
         return complex(self.lam[i])
@@ -97,6 +113,8 @@ def linear_stability_analysis(
     x0: Optional[jnp.ndarray] = None,
     nmodes_out: Optional[int] = None,
     base_T: Optional[jnp.ndarray] = None,
+    spurious_factor: Optional[float] = 3.0,
+    checkpoint=None,
 ) -> StabilityResult:
     """Leading direct/adjoint eigenmodes of the linearized flow.
 
@@ -118,16 +136,31 @@ def linear_stability_analysis(
             x0 = (x0, xT)
     res = eigs(
         matvec, space, x0, k_dim=k_dim, nev=nev, tol=tol,
-        schur_del=schur_del, max_restarts=max_restarts,
+        schur_del=schur_del, max_restarts=max_restarts, checkpoint=checkpoint,
     )
     T = op.T
     lam = np.log(res.eigenvalues.astype(np.complex128)) / T
     nout = min(nmodes_out if nmodes_out is not None else nev, res.k)
     modes = []
+    gnorms = []
     for i in range(nout):
         re, im = res.mode(i)
         nrm = float(np.sqrt(space.dot(re, re) + space.dot(im, im)))
-        modes.append((space.scale(1.0 / nrm, re), space.scale(1.0 / nrm, im)))
+        re = space.scale(1.0 / nrm, re)
+        im = space.scale(1.0 / nrm, im)
+        modes.append((re, im))
+        if spurious_factor is not None and not coupled:
+            gnorms.append(
+                np.hypot(gradient_energy_norm(ns.sem, re),
+                         gradient_energy_norm(ns.sem, im))
+            )
+    gnorms = np.asarray(gnorms) if gnorms else None
+    spurious = None
+    if gnorms is not None and len(gnorms) > 1:
+        # anomalously rough relative to the smoothest retained mode
+        # (mesh-independent version of the reference's absolute 1.1 gate,
+        # eigensolvers.f90:587-595)
+        spurious = gnorms > spurious_factor * gnorms.min()
     return StabilityResult(
         mu=res.eigenvalues,
         lam=lam,
@@ -136,6 +169,8 @@ def linear_stability_analysis(
         horizon=T,
         n_matvecs=res.n_matvecs,
         eigresult=res,
+        mode_gradient_norms=gnorms,
+        spurious=spurious,
     )
 
 

@@ -85,6 +85,18 @@ class SolverConfig:
     dealias: bool = True  # over-integration of convection (Nek lxd = 3/2 lx1)
     fdm_precond: bool = True  # tensor-product fast-diagonalization element
     # preconditioner for the elliptic solves (ops/fdm.py); False -> Jacobi
+    pressure_operator: str = "pnpn2"  # pressure formulation:
+    # 'pnpn2' (default): pressure in DISCONTINUOUS P_{N-2} on Gauss points,
+    #   E = D M^-1 D^T built from the discrete weak divergence D and its
+    #   exact transpose — the reference's P_N/P_{N-2} SEM.  Discretely
+    #   divergence-free projection (no splitting feedback can grow — the
+    #   strong-gradient/weak-Laplacian mismatch is unstable on curved/
+    #   graded elements), no spurious pressure modes, and the pressure
+    #   solve needs no gather-scatter.
+    # 'consistent': same-order continuous-pressure E operator (PnPn);
+    #   consistent but ill-conditioned (spurious-mode tail).
+    # 'laplacian': approximate projection with the weak Laplacian K
+    #   (cheapest per iteration; only safe on affine meshes).
     warm_start: bool = True  # residual-correction warm start of the elliptic
     # solves from the previous step (velocity: from u^n; pressure: from the
     # carried dp) — Nek residualProj analog.  NOTE: tolerances then apply to

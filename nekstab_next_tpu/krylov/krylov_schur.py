@@ -46,6 +46,18 @@ class EigenResult:
         im = self.basis.combine(np.ascontiguousarray(y.imag))
         return re, im
 
+    def orthonormality_audit(self, space: VectorSpace, ncols: Optional[int] = None) -> float:
+        """max |<q_i, q_j> - delta_ij| over the converged basis — the
+        reference's post-hoc audit written to ``orthonormality.dat``
+        (eigensolvers.f90:335-345)."""
+        k = self.k if ncols is None else ncols
+        G = np.zeros((k, k))
+        for i in range(k):
+            qi = self.basis.get(i)
+            for j in range(i, k):
+                G[i, j] = G[j, i] = float(space.dot(qi, self.basis.get(j)))
+        return float(np.max(np.abs(G - np.eye(k))))
+
 
 def eigs(
     matvec: Callable,
@@ -57,12 +69,20 @@ def eigs(
     schur_del: float = 0.10,
     max_restarts: int = 50,
     callback: Optional[Callable] = None,
+    checkpoint=None,
 ) -> EigenResult:
     """Leading eigenpairs of the (propagator) operator ``matvec``.
 
     ``x0`` is the seed vector (pytree).  Convergence: Ritz residual
     |beta e_k^T y_i| < tol for the ``nev`` leading pairs (reference
-    eigensolvers.f90:295-311)."""
+    eigensolvers.f90:295-311).
+
+    ``checkpoint``: optional :class:`~nekstab_next_tpu.io.checkpoint.
+    ArnoldiCheckpoint`; the (basis, H) pair persists after every restart and
+    a fresh call resumes from the last saved restart (the reference's
+    ``ifres`` KRY/HES checkpointing, eigensolvers.f90:240-285, 758-857)."""
+    import jax
+
     basis = Basis(space, x0, capacity=k_dim + 1)
     q0, _ = space.normalize(x0)
     basis.set(0, q0)
@@ -70,6 +90,19 @@ def eigs(
     m = 0  # number of columns kept from restarts
     nmv = 0
     history: List[dict] = []
+
+    if checkpoint is not None:
+        saved = checkpoint.load()
+        if saved is not None:
+            leaves, Hs, mcols, _meta = saved
+            template = jax.tree.leaves(basis.Q)
+            basis.Q = jax.tree.unflatten(
+                jax.tree.structure(basis.Q),
+                [jax.numpy.asarray(l, dtype=t.dtype) for l, t in
+                 zip(leaves, template)],
+            )
+            H[:] = Hs
+            m = mcols
 
     for restart in range(max_restarts):
         for j in range(m, k_dim):
@@ -114,5 +147,13 @@ def eigs(
         H[:] = 0.0
         H[:m, :m] = T[:m, :m]
         H[m, :m] = beta * Z[k_dim - 1, :m]
+
+        if checkpoint is not None:
+            import jax
+
+            checkpoint.save(
+                [np.asarray(l) for l in jax.tree.leaves(basis.Q)],
+                H, m, restart=restart, n_matvecs=nmv,
+            )
 
     return EigenResult(vals, res, vecs, basis, H, k_dim, ncv, nmv, history)

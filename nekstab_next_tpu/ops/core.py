@@ -125,6 +125,20 @@ class SEM:
         self.rx_d, self.ry_d = f(interp2(mesh.rx)), f(interp2(mesh.ry))
         self.sx_d, self.sy_d = f(interp2(mesh.sx)), f(interp2(mesh.sy))
 
+        # PnPn-2 pressure space: P_{N-2} on (n-2)^2 Gauss points per element,
+        # DISCONTINUOUS across elements (the reference's P_N/P_{N-2}
+        # formulation, SURVEY.md L0).  No spurious pressure modes, and the
+        # pressure solve needs no gather-scatter at all.
+        npr = n - 2
+        self.npr = npr
+        zg_, wg_ = gauss_points_weights(npr)
+        zc_, _ = gll_points_weights(n)
+        Jp = lagrange_interp_matrix(zc_, zg_)  # (npr, n): GLL -> Gauss
+        self.Jp = f(Jp)
+        self.Jpg = f(lagrange_interp_matrix(zg_, zc_))  # Gauss -> GLL (postproc)
+        interp2p = lambda a: np.einsum("ai,bj,eij->eab", Jp, Jp, a)
+        self.bp = f(np.outer(wg_, wg_)) * f(interp2p(mesh.jac))
+
         # fast-diagonalization preconditioner setup (ops/fdm.py)
         from .fdm import coarse_setup, element_half_lengths_2d, fdm_eigensetup
 
@@ -155,7 +169,7 @@ class SEM:
     _ELEM_FIELDS = (
         "rx", "ry", "sx", "sy", "jac", "bm", "bms", "sponge",
         "g11", "g12", "g22", "vmask", "pmask", "tmask",
-        "binv_assembled", "inv_mult",
+        "binv_assembled", "inv_mult", "bp",
         "jac_d", "rx_d", "ry_d", "sx_d", "sy_d",
         "fdm_len", "pc_cid",
     )
@@ -303,6 +317,41 @@ class SEM:
         t = jnp.einsum("ia,jb,eij...->eab...", S, S, r)
         t = t * inv
         return jnp.einsum("ia,jb,eab...->eij...", S, S, t)
+
+    # ------------------------------------------------------------------
+    # PnPn-2 pressure space operators
+    # ------------------------------------------------------------------
+    @property
+    def p_shape(self):
+        return self.bm.shape[:1] + (self.npr,) * (self.bm.ndim - 1)
+
+    def div_to_p(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Weak divergence into the P_{N-2} Gauss pressure space (the PnPn-2
+        D operator): <q, div u> integrated on the velocity GLL grid with the
+        pressure test function lifted Gauss->GLL — exact quadrature for the
+        polynomial degrees involved (evaluating the integral on the coarser
+        Gauss grid instead under-integrates and costs an order of accuracy)."""
+        d = self.bm * self.divv(u)
+        return jnp.einsum("ia,jb,eij->eab", self.Jpg, self.Jpg, d)
+
+    def p_to_gll(self, p: jnp.ndarray) -> jnp.ndarray:
+        """Interpolate a Gauss pressure field to the velocity GLL nodes
+        (for output/postprocessing only)."""
+        return jnp.einsum("ia,jb,eab->eij", self.Jpg, self.Jpg, p)
+
+    def p_from_gll(self, p: jnp.ndarray) -> jnp.ndarray:
+        """Sample a GLL nodal pressure field at the Gauss pressure points
+        (e.g. exact initial pressure for tests)."""
+        return jnp.einsum("ai,bj,eij->eab", self.Jp, self.Jp, p)
+
+    def pressure_precond_pnpn2(self, r: jnp.ndarray) -> jnp.ndarray:
+        """SPD preconditioner for E = D M^-1 D^T: lift Gauss residual to the
+        GLL grid (transpose-interp), apply the two-level FDM + Q1-coarse
+        Poisson preconditioner there, restrict back.  M = R S R^T with S SPD
+        and R full-rank => SPD on the pressure space."""
+        rg = jnp.einsum("ai,bj,eab->eij", self.Jp, self.Jp, r)  # R^T r
+        z = self.fdm_apply(rg, 1.0, 0.0) + self.coarse_apply_pressure(rg)
+        return jnp.einsum("ai,bj,eij->eab", self.Jp, self.Jp, z)  # R z
 
     def coarse_apply_pressure(self, r: jnp.ndarray) -> jnp.ndarray:
         """Q1 vertex coarse-grid correction for the pressure Poisson — the

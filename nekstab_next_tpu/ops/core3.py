@@ -62,6 +62,18 @@ class SEM3:
             gather_table(mesh.gid.reshape(-1), mesh.nglobal), dtype=jnp.int32
         )
 
+        # PnPn-2 pressure space (see ops/core.py): P_{N-2} on Gauss, L2
+        npr = n - 2
+        self.npr = npr
+        zg_, wg_ = gauss_points_weights(npr)
+        zc0, _ = gll_points_weights(n)
+        Jp = lagrange_interp_matrix(zc0, zg_)
+        self.Jp = f(Jp)
+        self.Jpg = f(lagrange_interp_matrix(zg_, zc0))
+        wp3 = np.einsum("a,b,c->abc", wg_, wg_, wg_)
+        jac_p = np.einsum("ai,bj,ck,eijk->eabc", Jp, Jp, Jp, mesh.jac)
+        self.bp = f(wp3) * f(jac_p)
+
         # dealiasing (3/2 over-integration)
         nd = int(math.ceil(3 * n / 2))
         self.nd = nd
@@ -108,7 +120,7 @@ class SEM3:
         "drdx", "drdy", "drdz", "dsdx", "dsdy", "dsdz",
         "dtdx", "dtdy", "dtdz", "jac", "bm", "bms", "sponge",
         "g11", "g12", "g13", "g22", "g23", "g33",
-        "vmask", "pmask", "tmask", "binv_assembled", "inv_mult",
+        "vmask", "pmask", "tmask", "binv_assembled", "inv_mult", "bp",
         "jac_d",
         "drdx_d", "drdy_d", "drdz_d", "dsdx_d", "dsdy_d", "dsdz_d",
         "dtdx_d", "dtdy_d", "dtdz_d",
@@ -217,6 +229,28 @@ class SEM3:
 
     def helmholtz_local(self, u: jnp.ndarray, h1, h2) -> jnp.ndarray:
         return h1 * self.stiffness_local(u) + h2 * self.bm * u
+
+    # -- PnPn-2 pressure space (see ops/core.py) -----------------------
+    @property
+    def p_shape(self):
+        return (self.nelem,) + (self.npr,) * 3
+
+    def div_to_p(self, u: jnp.ndarray) -> jnp.ndarray:
+        # GLL-grid quadrature with lifted test function (see ops/core.py)
+        d = self.bm * self.divv(u)
+        return jnp.einsum(
+            "ia,jb,kc,eijk->eabc", self.Jpg, self.Jpg, self.Jpg, d
+        )
+
+    def p_to_gll(self, p: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum(
+            "ia,jb,kc,eabc->eijk", self.Jpg, self.Jpg, self.Jpg, p
+        )
+
+    def pressure_precond_pnpn2(self, r: jnp.ndarray) -> jnp.ndarray:
+        rg = jnp.einsum("ai,bj,ck,eabc->eijk", self.Jp, self.Jp, self.Jp, r)
+        z = self.fdm_apply(rg, 1.0, 0.0) + self.coarse_apply_pressure(rg)
+        return jnp.einsum("ai,bj,ck,eijk->eabc", self.Jp, self.Jp, self.Jp, z)
 
     def fdm_apply(self, r: jnp.ndarray, h1, h2) -> jnp.ndarray:
         """Approximate elementwise inverse of (h1 K + h2 B) via tensor-product

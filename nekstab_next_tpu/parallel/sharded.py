@@ -138,6 +138,23 @@ class ShardedContext:
     def field_spec(self):
         return P(self.axis)
 
+    def make_host_state(self, u, time: float = 0.0, T=None) -> FlowState:
+        """Fresh full-domain state matching this context's stepper config
+        (pressure space + warm-start carry)."""
+        solver = self.ns_kwargs.get("solver", SolverConfig())
+        s = self._sem_host
+        scheme = (
+            "laplacian" if self.ns_kwargs.get("mixed_precision")
+            else solver.pressure_operator
+        )
+        p = jnp.zeros(
+            s.p_shape if scheme == "pnpn2" else s.bm.shape, dtype=s.dtype
+        )
+        return initial_state(
+            u.astype(s.dtype), p=p, time=time, T=T,
+            warm_start=solver.warm_start,
+        )
+
     def shard_state(self, state: FlowState) -> FlowState:
         put = lambda x, sp: jax.device_put(x, NamedSharding(self.jmesh, sp))
         return jax.tree.map(put, state, self.state_spec())

@@ -131,7 +131,7 @@ def forced_tangent_response(ns, base_u, f, nsteps: int, base_p=None):
     s = ns.sem
     base_u = base_u.astype(s.dtype)
     if base_p is None:
-        base_p = jnp.zeros(base_u.shape[:-1], dtype=s.dtype)
+        base_p = jnp.zeros(ns.p_shape, dtype=s.dtype)
     t0 = jnp.asarray(0.0, s.dtype)
     E0 = ns._explicit_weak(base_u, t0)
     base_fields = (base_u, base_p, jnp.stack([base_u, base_u]), jnp.stack([E0, E0]))

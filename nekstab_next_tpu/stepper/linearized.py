@@ -67,7 +67,7 @@ class LinearizedOperator:
         s = ns.sem
         base_u = base_u.astype(s.dtype)
         if base_p is None:
-            base_p = jnp.zeros(base_u.shape[:-1], dtype=s.dtype)
+            base_p = jnp.zeros(ns.p_shape, dtype=s.dtype)
         if self.coupled and base_T is None:
             base_T = jnp.zeros(s.bm.shape + (ns.nscal,), dtype=s.dtype)
         E0 = ns._explicit_weak(base_u, jnp.asarray(t0, s.dtype), T=base_T)
@@ -209,9 +209,9 @@ class FloquetOperator:
         def prop(q0):
             if self.coupled:
                 u0, T0 = q0
-                st = initial_state(u0, p=base_p, time=t0, dtype=s.dtype, T=T0)
+                st = ns.make_state(u0, p=base_p, time=t0, T=T0)
             else:
-                st = initial_state(q0, p=base_p, time=t0, dtype=s.dtype)
+                st = ns.make_state(q0, p=base_p, time=t0)
 
             def body(c, _):
                 return step(c), None

@@ -143,8 +143,30 @@ class NavierStokes:
             from ..ops.mixed import MixedPrecision
 
             self.mixed = MixedPrecision(s)
+        # the mixed path implements the GLL-grid approximate projection only
+        self._scheme = "laplacian" if mixed_precision else solver.pressure_operator
 
     # ------------------------------------------------------------------
+    @property
+    def p_shape(self):
+        """Shape of the pressure field: the P_{N-2} Gauss space for the
+        PnPn-2 formulation (matching the reference's P_N/P_{N-2} SEM),
+        else the velocity GLL grid."""
+        if self._scheme == "pnpn2":
+            return self.sem.p_shape
+        return self.sem.bm.shape
+
+    def make_state(self, u, p=None, time: float = 0.0, T=None) -> FlowState:
+        """Fresh :class:`FlowState` with pressure (and the warm-start dp
+        carry) in THIS stepper's pressure space."""
+        s = self.sem
+        if p is None:
+            p = jnp.zeros(self.p_shape, dtype=s.dtype)
+        return initial_state(
+            u.astype(s.dtype), p=p, time=time, dtype=s.dtype, T=T,
+            warm_start=self.solver.warm_start,
+        )
+
     def _explicit_weak(self, u: jnp.ndarray, t: jnp.ndarray, fc=None, T=None) -> jnp.ndarray:
         """Weak explicit terms E = -C(u)u + B f(u,t) + B fc (local form).
 
@@ -257,14 +279,46 @@ class NavierStokes:
 
         E0 = self._explicit_weak(u0, time, fc=fc, T=T0)
         bm = s.bm[..., None]
+        scheme = self._scheme
+        consistent = scheme in ("consistent", "pnpn2")
+
+        # discrete weak divergence D and its EXACT transpose (the weak
+        # pressure gradient).  Using one D for the momentum pressure term,
+        # the Poisson operator E = D M^-1 D^T, and the projection makes the
+        # corrected velocity discretely divergence-free — a strong-gradient
+        # correction against the weak Laplacian is inconsistent on curved/
+        # graded elements and grows a few %/step (diagnosed on the cylinder
+        # O-mesh).  'pnpn2' puts the pressure in discontinuous P_{N-2}
+        # (Gauss points), which also removes the same-order spurious
+        # pressure modes that cripple the CG conditioning of the continuous
+        # same-order 'consistent' variant — the reference's P_N/P_{N-2}.
+        if scheme == "pnpn2":
+            def div_w(u):
+                return s.div_to_p(u)
+        else:
+            def div_w(u):
+                return s.bm * s.divv(u)
+
+        if consistent:
+            grad_wt = jax.linear_transpose(div_w, u0)
+            grad_w = lambda q: grad_wt(q)[0]
+            vmask_ = s.vmask
+            binv = s.binv_assembled[..., None]
+
+            def Minv_free(g):
+                return vmask_ * (binv * s.dssum(vmask_ * g))
 
         # weak RHS for the Helmholtz solve
         rhs = (
             (1.0 / dt) * bm * (b[0] * u0 + b[1] * ulag0[0] + b[2] * ulag0[1])
             + a[0] * E0 + a[1] * nlag0[0] + a[2] * nlag0[1]
         )
-        # incremental pressure: subtract weak grad of current pressure
-        rhs = rhs - bm * s.gradv(p0)
+        # incremental pressure: weak gradient of current pressure
+        # (D^T p ~ -B grad p + outflow boundary term)
+        if consistent:
+            rhs = rhs + grad_w(p0)
+        else:
+            rhs = rhs - bm * s.gradv(p0)
 
         # ---- velocity Helmholtz solve with Dirichlet lift ---------------
         vmask = s.vmask
@@ -290,8 +344,15 @@ class NavierStokes:
             )
         else:
             # warm start from the current velocity (w ~ u* ~ u^n): solve for
-            # the O(dt) correction only
-            x0v = vmask * (u0 - u_bc) if self.solver.warm_start else 0.0
+            # the O(dt) correction only.  The guess MUST lie in the solver's
+            # continuous masked subspace or the residual-correction identity
+            # x0 + A^-1(b - A x0) = A^-1 b fails by (I-P)x0 — the primal
+            # state is C0 so this is free there, but tangent/cotangent
+            # vectors (jvp/transpose of the step) need not be, so project.
+            if self.solver.warm_start:
+                x0v = vmask * s.dsavg(vmask * (u0 - u_bc))
+            else:
+                x0v = 0.0
             w = x0v + elliptic_solve(
                 s,
                 helm_local,
@@ -305,27 +366,66 @@ class NavierStokes:
         ustar = w + u_bc
 
         # ---- pressure-increment Poisson --------------------------------
-        divu = s.divv(ustar)
         if self.mixed is not None:
             from ..ops.mixed import elliptic_solve_mixed
 
             dp = elliptic_solve_mixed(
                 s, self.mixed, 1.0, 0.0,
-                -(g0 / dt) * s.bm * divu, s.pmask,
+                -(g0 / dt) * s.bm * s.divv(ustar), s.pmask,
                 maxiter=self.solver.pressure_maxiter,
                 project_mean=not s.has_pressure_dirichlet,
                 coarse=True,
             )
+        elif scheme == "pnpn2":
+            # E = D M^-1 D^T on the discontinuous Gauss pressure space: SPD,
+            # spurious-mode free, Euclid-symmetric by transpose construction
+            # — plain CG, no continuity projector or mask needed.
+            def E_op(q):
+                return div_w(Minv_free(grad_w(q)))
+
+            x0p = dp0 if (dp0 is not None and self.solver.warm_start) else None
+            project = None
+            if not s.has_pressure_dirichlet:
+                # fully-enclosed flow: constants span null(E) exactly
+                ones = jnp.ones(s.p_shape, dtype=s.dtype)
+                csq = s._reduce(jnp.sum(ones * ones))
+
+                def project(q):
+                    return q - (s._reduce(jnp.sum(q * ones)) / csq) * ones
+
+                if x0p is not None:
+                    # keep the warm guess out of null(E): the correction
+                    # identity only cancels x0 on range(E)
+                    x0p = project(x0p)
+            rhs_p = -(g0 / dt) * div_w(ustar)
+            if x0p is not None:
+                rhs_p = rhs_p - E_op(x0p)
+
+            dp = cg_solve(
+                E_op,
+                rhs_p,
+                precond=s.pressure_precond_pnpn2,
+                tol=self.solver.pressure_tol,
+                maxiter=self.solver.pressure_maxiter,
+                dot=lambda a, c: s._reduce(jnp.sum(a * c)),
+                project=project,
+            )
+            if x0p is not None:
+                dp = dp + x0p
         else:
+            p_op = (
+                (lambda q: div_w(Minv_free(grad_w(q))))
+                if consistent else s.stiffness_local
+            )
             # warm start from the previous pressure increment when the state
             # carries one (residual-correction form; see _core docstring)
             x0p = dp0 if (dp0 is not None and self.solver.warm_start) else None
-            rhs_p = -(g0 / dt) * s.bm * divu
+            rhs_p = -(g0 / dt) * div_w(ustar)
             if x0p is not None:
-                rhs_p = rhs_p - s.stiffness_local(x0p)
+                rhs_p = rhs_p - p_op(x0p)
             dp = elliptic_solve(
                 s,
-                s.stiffness_local,
+                p_op,
                 rhs_p,
                 s.pmask,
                 tol=self.solver.pressure_tol,
@@ -339,9 +439,14 @@ class NavierStokes:
                 dp = dp + x0p
 
         # ---- projection / correction -----------------------------------
-        u_new = ustar - (dt / g0) * s.gradv(dp)
-        u_new = s.dsavg_mass(u_new)
-        u_new = vmask * u_new + u_bc
+        if consistent and self.mixed is None:
+            # discretely divergence-free by construction; Dirichlet rows of
+            # the correction vanish (Minv_free masks), so BCs stay intact
+            u_new = ustar + (dt / g0) * Minv_free(grad_w(dp))
+        else:
+            u_new = ustar - (dt / g0) * s.gradv(dp)
+            u_new = s.dsavg_mass(u_new)
+            u_new = vmask * u_new + u_bc
         p_new = p0 + dp
 
         out = (
@@ -401,5 +506,5 @@ class NavierStokes:
     def propagator(self, u0: jnp.ndarray, nsteps: int, time0: float = 0.0, dt=None) -> jnp.ndarray:
         """exp(T L)-style map on velocity fields: fresh state, integrate,
         return final velocity (the reference's matvec shape)."""
-        st = initial_state(u0, time=time0, dtype=self.sem.dtype)
+        st = self.make_state(u0, time=time0)
         return self.advance(st, nsteps, dt=dt).u

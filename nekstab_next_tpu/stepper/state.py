@@ -92,7 +92,7 @@ def initial_state(
         p = jnp.zeros(u.shape[:-1], dtype=u.dtype)
     ulag = jnp.zeros((2,) + u.shape, dtype=u.dtype)
     nlag = jnp.zeros((2,) + u.shape, dtype=u.dtype)
-    dp = jnp.zeros(u.shape[:-1], dtype=u.dtype) if warm_start else None
+    dp = jnp.zeros_like(p) if warm_start else None
     tfields = {}
     if T is not None:
         T = T.astype(u.dtype)

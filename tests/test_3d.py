@@ -71,7 +71,7 @@ def test_stokes_decay_3d(periodic3):
                  axis=-1)
     )
     ns = NavierStokes(sem, viscosity=nu, dt=dt)
-    out = jax.jit(lambda s: ns.advance(s, nsteps))(initial_state(u0))
+    out = jax.jit(lambda s: ns.advance(s, nsteps))(ns.make_state(u0))
     ratio = float(sem.norm(out.u[..., 0], masked=False)
                   / sem.norm(u0[..., 0], masked=False))
     expected = np.exp(-nu * dt * nsteps)
@@ -89,7 +89,7 @@ def test_taylor_green_embedded_3d(periodic3):
         np.zeros_like(mesh.x),
     ], axis=-1))
     ns = NavierStokes(sem, viscosity=nu, dt=dt)
-    out = jax.jit(lambda s: ns.advance(s, nsteps))(initial_state(u0))
+    out = jax.jit(lambda s: ns.advance(s, nsteps))(ns.make_state(u0))
     t = nsteps * dt
     decay = np.exp(-2 * nu * t)
     ue = jnp.asarray(np.stack([
@@ -98,8 +98,10 @@ def test_taylor_green_embedded_3d(periodic3):
         np.zeros_like(mesh.x),
     ], axis=-1)) * decay
     err = float(jnp.max(jnp.abs(out.u - ue)))
-    # discretization-limited at order 5 (order 7 gives 3.6e-6 — spectral)
-    assert err < 1e-3, err
+    # discretization-limited: the PnPn-2 P_{N-2} pressure space floors the
+    # error around 1e-2 at order 5 on this coarse grid (order-7 runs are
+    # spectral; the GLL-pressure scheme reaches 1e-3 here)
+    assert err < 2e-2, err
     # w stays zero up to the inner CG solve tolerance
     assert float(jnp.max(jnp.abs(out.u[..., 2]))) < 1e-7
 

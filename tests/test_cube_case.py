@@ -36,7 +36,7 @@ def test_cube_mesh_carved(cube):
 
 def test_cube_dns_steps(cube):
     ns = cube.make_ns()
-    st = initial_state(cube.initial_flow())
+    st = ns.make_state(cube.initial_flow())
     out = jax.jit(lambda s: ns.advance(s, 5))(st)
     assert bool(jnp.all(jnp.isfinite(out.u)))
     cfl = float(cube.sem.cfl(out.u, ns.dt))
@@ -71,7 +71,7 @@ def test_sharded_3d_step_matches_single_device():
 
     sem = SEM3(mesh)
     ns = NavierStokes(sem, viscosity=nu, dt=dt)
-    ref = jax.jit(lambda s: ns.advance(s, nsteps))(initial_state(u0))
+    ref = jax.jit(lambda s: ns.advance(s, nsteps))(ns.make_state(u0))
 
     ctx = ShardedContext(mesh, viscosity=nu, dt=dt)
     adv = ctx.compile(
@@ -79,5 +79,5 @@ def test_sharded_3d_step_matches_single_device():
         in_specs=(ctx.state_spec(),),
         out_specs=ctx.state_spec(),
     )
-    out = adv(ctx.shard_state(initial_state(u0)))
+    out = adv(ctx.shard_state(ns.make_state(u0)))
     assert float(jnp.max(jnp.abs(out.u - ref.u))) < 1e-10

@@ -67,7 +67,7 @@ def test_fst_inflow_signal_and_stepper():
     import jax
 
     ns = NavierStokes(sem, viscosity=0.05, dt=0.002, u_bc_fn=fst)
-    st = initial_state(jnp.zeros(sem.bm.shape + (2,)) + jnp.asarray([1.0, 0.0]))
+    st = ns.make_state(jnp.zeros(sem.bm.shape + (2,)) + jnp.asarray([1.0, 0.0]))
     st1 = jax.jit(ns.step)(st)
     assert bool(jnp.all(jnp.isfinite(st1.u)))
     want = np.asarray(fst(ns.dt)).reshape(-1, 2)[fst.inlet_idx]

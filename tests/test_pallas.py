@@ -96,13 +96,16 @@ def test_mixed_precision_full_step():
         np.stack([-np.cos(mesh.x) * np.sin(mesh.y),
                   np.sin(mesh.x) * np.cos(mesh.y)], axis=-1)
     )
-    ns64 = NavierStokes(sem_a, viscosity=0.05, dt=0.01)
+    from nekstab_next_tpu.config import SolverConfig
+
+    # the mixed path implements the GLL-grid scheme — compare like-for-like
+    ns64 = NavierStokes(sem_a, viscosity=0.05, dt=0.01,
+                        solver=SolverConfig(pressure_operator="laplacian"))
     # interpret mode auto-selected off-TPU inside FusedHelmholtz
     nsmx = NavierStokes(sem_b, viscosity=0.05, dt=0.01, mixed_precision=True)
 
-    st = initial_state(u0)
-    a = ns64.step(st)
-    b = nsmx.step(st)
+    a = ns64.step(ns64.make_state(u0))
+    b = nsmx.step(nsmx.make_state(u0))
     du = float(jnp.max(jnp.abs(a.u - b.u)))
     scale = float(jnp.max(jnp.abs(a.u)))
     assert du < 1e-8 * scale, du

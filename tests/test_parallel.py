@@ -30,7 +30,7 @@ def test_sharded_step_matches_single_device(tg):
     # single-device reference
     sem = SEM(mesh)
     ns = NavierStokes(sem, viscosity=nu, dt=dt)
-    ref = jax.jit(lambda s: ns.advance(s, nsteps))(initial_state(u0))
+    ref = jax.jit(lambda s: ns.advance(s, nsteps))(ns.make_state(u0))
 
     # sharded
     ctx = ShardedContext(mesh, viscosity=nu, dt=dt)
@@ -39,7 +39,7 @@ def test_sharded_step_matches_single_device(tg):
         in_specs=(ctx.state_spec(),),
         out_specs=ctx.state_spec(),
     )
-    out = adv(ctx.shard_state(initial_state(u0)))
+    out = adv(ctx.shard_state(ns.make_state(u0)))
 
     err = float(jnp.max(jnp.abs(out.u - ref.u)))
     assert err < 1e-10, err

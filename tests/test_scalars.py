@@ -39,7 +39,7 @@ def test_advection_diffusion_exact():
         [jnp.ones_like(sem.bm), jnp.zeros_like(sem.bm)], axis=-1
     ).astype(sem.dtype)
     T0 = jnp.asarray(np.sin(mesh.x)[..., None], dtype=sem.dtype)
-    st = initial_state(u0, T=T0)
+    st = ns.make_state(u0, T=T0)
     nsteps = 50
     out = ns.advance(st, nsteps)
     t = nsteps * dt
