@@ -1,0 +1,121 @@
+"""Backward-facing-step optimal transient growth vs Barkley et al. (2008).
+
+The reference's quantitative regression (SURVEY.md section 4.2): the optimal
+energy-growth envelope G(t) of the Re=500 backward-facing step, against the
+digitized fig. 5 of Barkley, Blackburn & Sherwin (2008) shipped as
+examples/back_fstep/barkley2008_fig5.ref (41 (t, G) pairs).  The reference
+drives this with a PBS campaign (back_fstep/autorun.py sweeping endTime);
+here it is a :class:`~nekstab_next_tpu.campaign.Campaign` of artifact-gated
+stages: base flow (Newton seeded by SFD) -> G(t) sweep -> comparison table.
+
+Usage:  NEKSTAB_CPU=1 python examples/bfs_transient_growth.py \
+            [--preset quick|full] [--horizons 1.723 5.901 ...]
+
+quick: coarsened mesh + the two shortest Barkley horizons; expects G within
+~15% (resolution-limited).  full: fixture-scale mesh, more horizons.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("NEKSTAB_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from nekstab_next_tpu.algorithms import newton_krylov, transient_growth_analysis
+from nekstab_next_tpu.algorithms.fixed_point import sfd
+from nekstab_next_tpu.campaign import Campaign, Stage, artifact_exists
+from nekstab_next_tpu.cases.bfs import BackwardFacingStepCase
+from nekstab_next_tpu.config import NewtonConfig
+from nekstab_next_tpu.io import load_field, save_field
+
+BARKLEY_REF = "/root/reference/examples/back_fstep/barkley2008_fig5.ref"
+
+PRESETS = {
+    "quick": dict(order=5, eu=6, ed=24, ey=6, outflow=35.0, k_dim=24,
+                  horizons=(1.723, 5.901)),
+    "full": dict(order=6, eu=8, ed=40, ey=8, outflow=50.0, k_dim=48,
+                 horizons=(1.723, 3.853, 5.901, 9.795, 15.9)),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="quick", choices=sorted(PRESETS))
+    ap.add_argument("--outdir", default="bfs_out")
+    ap.add_argument("--horizons", type=float, nargs="*", default=None)
+    args = ap.parse_args()
+    P = PRESETS[args.preset]
+    horizons = tuple(args.horizons) if args.horizons else P["horizons"]
+
+    case = BackwardFacingStepCase(
+        reynolds=500.0, order=P["order"], elems_upstream=P["eu"],
+        elems_downstream=P["ed"], elems_y=P["ey"],
+        outflow_length=P["outflow"],
+    )
+    ns = case.make_ns()
+    t0 = time.time()
+    print(f"[bfs] nelem={case.mesh.nelem} order={P['order']} dt={case.dt:.4f}",
+          flush=True)
+
+    bf_path = "BF_bfs_00001.npz"
+
+    def run_baseflow(wd):
+        u0 = case.initial_flow()
+        # SFD settle toward the fixed point, then Newton polish
+        r = sfd(ns, u0, tol=1e-4, max_steps=6000, chunk=250)
+        print(f"[bfs] SFD residual {r.residual:.2e} ({time.time()-t0:.0f}s)",
+              flush=True)
+        horizon = 1.0
+        nsteps = max(int(round(horizon / case.dt)), 1)
+        res = newton_krylov(ns, r.u, horizon=horizon, nsteps=nsteps,
+                            cfg=NewtonConfig(tol=1e-9, max_iter=30), k_dim=40)
+        assert res.converged, res.history[-3:]
+        save_field(os.path.join(wd, bf_path), res.u, p=res.p, time=0.0)
+        print(f"[bfs] Newton residual {res.residual:.2e} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        return {"residual": res.residual}
+
+    def run_growth(wd):
+        base = jnp.asarray(load_field(os.path.join(wd, bf_path)).u)
+        ref = np.loadtxt(BARKLEY_REF) if os.path.exists(BARKLEY_REF) else None
+        rows = []
+        for T in horizons:
+            nsteps = max(int(round(T / case.dt)), 1)
+            res = transient_growth_analysis(
+                ns, base, horizon=T, nsteps=nsteps, nsv=1,
+                k_dim=P["k_dim"], tol=1e-6,
+            )
+            G = float(res.gains[0])
+            Gref = float(np.interp(T, ref[:, 0], ref[:, 1])) if ref is not None else None
+            rows.append(dict(t=T, G=G, G_barkley=Gref,
+                             rel=None if Gref is None else G / Gref - 1.0))
+            print(f"[bfs] G({T}) = {G:.2f}"
+                  + (f"  (Barkley {Gref:.2f}, {100*(G/Gref-1):+.1f}%)"
+                     if Gref else ""), flush=True)
+        with open(os.path.join(wd, "growth.json"), "w") as fh:
+            json.dump(rows, fh, indent=1)
+        return {"points": rows}
+
+    campaign = Campaign(args.outdir, [
+        Stage("baseflow", run_baseflow, done=artifact_exists(bf_path)),
+        Stage("transient_growth", run_growth,
+              done=artifact_exists("growth.json")),
+    ])
+    rep = campaign.run()
+    print(f"[bfs] done in {time.time()-t0:.0f}s -> {args.outdir}/report.json",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,3 +115,35 @@ def test_svds_matches_dense(space):
         av = A @ np.asarray(res.right[i])
         su = res.sigma[i] * np.asarray(res.left[i])
         assert np.linalg.norm(av - su) < 1e-6
+
+
+def test_eigs_checkpoint_resume(space, tmp_path):
+    """(basis, H) persist per restart; a fresh eigs() resumes and converges
+    (the reference's KRY/HES checkpoint-restart, eigensolvers.f90:240-285)."""
+    from nekstab_next_tpu.io.checkpoint import ArnoldiCheckpoint
+
+    A = random_operator(7)
+    x0 = jnp.asarray(np.random.default_rng(2).standard_normal(N))
+    mv = lambda v: jnp.asarray(A) @ v
+
+    ck = ArnoldiCheckpoint(str(tmp_path), session="t")
+    # force several restarts with a small subspace, then stop early
+    r1 = eigs(mv, space, x0, k_dim=12, nev=2, tol=1e-12, max_restarts=2,
+              checkpoint=ck)
+    assert ck.load() is not None
+    # resume: should converge using the saved condensed basis
+    r2 = eigs(mv, space, x0, k_dim=12, nev=2, tol=1e-10, max_restarts=30,
+              checkpoint=ck)
+    lam = np.sort_complex(np.linalg.eigvals(A))[::-1]
+    assert abs(r2.eigenvalues[0] - lam[0]) < 1e-8
+    # resumed run needs fewer fresh matvecs than a cold run to converge
+    r3 = eigs(mv, space, x0, k_dim=12, nev=2, tol=1e-10, max_restarts=30)
+    assert r2.n_matvecs <= r3.n_matvecs
+
+
+def test_orthonormality_audit(space):
+    A = random_operator(9)
+    x0 = jnp.asarray(np.random.default_rng(3).standard_normal(N))
+    mv = lambda v: jnp.asarray(A) @ v
+    res = eigs(mv, space, x0, k_dim=20, nev=2, tol=1e-8, max_restarts=20)
+    assert res.orthonormality_audit(space, ncols=10) < 1e-12
