@@ -108,7 +108,12 @@ def newton_krylov(
         if not np.isfinite(res):
             raise FloatingPointError(f"Newton residual not finite at iter {it}")
         if res < cfg.tol:
-            return NewtonResult(q, p_final, T if upo else None, res, True, it,
+            # recover the steady pressure: integrate a few steps from the
+            # fixed point (the per-step pressure solve converges to the
+            # steady field; the Newton unknown is velocity-only, matching
+            # the reference's time-stepper formulation)
+            stf = jax.jit(lambda u: ns.advance(ns.make_state(u), min(nsteps, 20)))(q)
+            return NewtonResult(q, stf.p, T if upo else None, res, True, it,
                                 nmv_total, history)
 
         # dynamic GMRES tolerance (reference spec_tole: tol = res/100,

@@ -107,6 +107,8 @@ def surface_force_and_torque(
     bounded by the quadrature edges (reference ``nekStab_torque`` ->
     lift_drag.dat).  t_i = [-p delta_ij + nu (du_i/dx_j + du_j/dx_i)] n_j
     with n pointing from the body into the fluid."""
+    if p.shape != sem.bm.shape:
+        p = sem.p_to_gll(p)  # PnPn-2 Gauss pressure -> GLL for edge gathers
     G = velocity_gradient(sem, u)  # du_a/dx_b, C0-smoothed
     el = bq.elems
 
