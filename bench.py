@@ -16,6 +16,12 @@ iterative refinement (ops/mixed.py), whose FLOPs are also f32.  Correctness
 at the reference's 1e-6..1e-10 tolerances is covered by the f64 CPU test
 suite, not this throughput number.
 
+Budgeting: the backend may be a remote-tunneled chip where each fresh
+executable costs minutes of compile; the ladder climbs small -> flagship,
+banking the best completed number, and stops when the remaining wall-clock
+budget (NEKSTAB_BENCH_BUDGET seconds, default 420) cannot cover the next
+rung.  One JSON line is printed no matter where the climb stops.
+
 The reference publishes no wall-clock numbers (BASELINE.md), so
 ``vs_baseline`` is the ratio against a fixed nominal anchor recorded at round
 1 (1.0e7 dof-steps/s) to make cross-round progress visible.
@@ -24,16 +30,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 NOMINAL_BASELINE = 1.0e7  # dof-steps/s anchor (no reference number exists)
 
-# (nr, ntheta) ladder: flagship scale first, then smaller fallbacks so a
-# resource failure on the device still yields a measurement.
-CONFIGS = [(16, 48), (8, 24), (4, 12)]
+# (nr, ntheta) ladder: small rung first to bank a number fast, flagship last.
+CONFIGS = [(4, 12), (8, 24), (16, 48)]
 NSTEPS = 50
 REPS = 3
+BUDGET = float(os.environ.get("NEKSTAB_BENCH_BUDGET", "420"))
+
+_T0 = time.perf_counter()
+
+
+def _left():
+    return BUDGET - (time.perf_counter() - _T0)
 
 
 def run(nr: int, ntheta: int) -> float:
@@ -72,22 +85,33 @@ def run(nr: int, ntheta: int) -> float:
 
 
 def main():
+    best = None
     last_err = None
-    for nr, ntheta in CONFIGS:
+    last_cost = 0.0
+    for i, (nr, ntheta) in enumerate(CONFIGS):
+        # the next rung costs at least as much as the last one (compile
+        # dominates and grows with size); keep a safety factor
+        if best is not None and _left() < max(1.6 * last_cost, 60.0):
+            print(f"bench: stopping ladder at rung {i} "
+                  f"({_left():.0f}s budget left)", file=sys.stderr)
+            break
+        t0 = time.perf_counter()
         try:
             value = run(nr, ntheta)
-            print(json.dumps({
-                "metric": "linearized_propagator_throughput",
-                "value": value,
-                "unit": "dof-steps/s",
-                "vs_baseline": value / NOMINAL_BASELINE,
-            }))
-            return
-        except Exception as e:  # noqa: BLE001 - fall down the ladder
+            best = value if best is None else max(best, value)
+        except Exception as e:  # noqa: BLE001 - climb past broken rungs
             last_err = e
             print(f"bench: config ({nr},{ntheta}) failed: {e!r}",
                   file=sys.stderr)
-    raise SystemExit(f"all bench configs failed: {last_err!r}")
+        last_cost = time.perf_counter() - t0
+    if best is None:
+        raise SystemExit(f"all bench configs failed: {last_err!r}")
+    print(json.dumps({
+        "metric": "linearized_propagator_throughput",
+        "value": best,
+        "unit": "dof-steps/s",
+        "vs_baseline": best / NOMINAL_BASELINE,
+    }))
 
 
 if __name__ == "__main__":

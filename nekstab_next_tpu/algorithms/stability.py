@@ -92,6 +92,14 @@ def _make_operator(ns, base_u, base_p, nsteps, floquet, base_T=None):
     if floquet:
         return FloquetOperator(ns, base_u, base_p=base_p, nsteps=nsteps,
                                base_T=base_T)
+    if ns.solver.finite_difference:
+        # Frechet-by-FD cross-check path (reference matvec.f90:246-379);
+        # direct matvec only — FD has no adjoint
+        from ..stepper.linearized import FiniteDifferenceOperator
+
+        return FiniteDifferenceOperator(
+            ns, base_u, nsteps=nsteps, order=ns.solver.fd_order,
+        )
     return LinearizedOperator(ns, base_u, base_p=base_p, nsteps=nsteps,
                               base_T=base_T)
 

@@ -127,7 +127,7 @@ class NewtonConfig:
     gmres_restarts: int = 100
     dynamic_tol: bool = True  # spec_tole scheduling (newton_krylov.f90:408-435)
     finite_difference: bool = False  # Frechet derivative by FD instead of jvp
-    fd_order: int = 1
+    fd_order: int = 2  # central-difference order, 2 or 4 (matvec.f90:246-379)
     fd_epsilon: float = 1e-6  # epsilon_base
 
 

@@ -91,16 +91,26 @@ class LinearizedOperator:
         self.warm = ns.solver.warm_start
         if self.warm:
             base_fields = base_fields + (jnp.zeros_like(base_fields[1]),)
-        # one linearization per BDF-ramp stage; residuals stored once
-        self._lin = []
-        for k in range(3):
-            _, lin_fn = jax.linearize(
-                partial(ns._core, time=jnp.asarray(t0, s.dtype), k=k), base_fields
-            )
-            self._lin.append(lin_fn)
+        self._t0 = jnp.asarray(t0, s.dtype)
         self._template = base_fields
         self._matvec = jax.jit(self._apply)
         self._rmatvec = None  # built lazily (needs one transpose trace)
+
+    def _linearize(self):
+        """One tangent map per BDF-ramp stage, linearized at the frozen base.
+
+        Called under a trace (inside the jitted ``_apply``) so the primal
+        ramp solves are *compiled into* the propagator executable instead of
+        being dispatched op-by-op at construction — on a remote-dispatch
+        backend (axon tunnel) eager linearization costs minutes; here the
+        three loop-invariant primal steps are hoisted/CSEd by XLA and amount
+        to a ~3/nsteps overhead per matvec."""
+        return [
+            jax.linearize(
+                partial(self.ns._core, time=self._t0, k=k), self._template
+            )[1]
+            for k in range(3)
+        ]
 
     # -- direct --------------------------------------------------------
     def _tangent0(self, q):
@@ -123,15 +133,16 @@ class LinearizedOperator:
         return df
 
     def _apply(self, q):
+        lin = self._linearize()
         df = self._tangent0(q)
         n = self.nsteps
         if n >= 1:
-            df = self._lin[0](df)
+            df = lin[0](df)
         if n >= 2:
-            df = self._lin[1](df)
+            df = lin[1](df)
         if n > 2:
             def body(c, _):
-                return self._lin[2](c), None
+                return lin[2](c), None
 
             df, _ = jax.lax.scan(body, df, None, length=n - 2)
         if self.coupled:
@@ -264,6 +275,61 @@ class FloquetOperator:
 
             self._rmatvec = jax.jit(rmv)
         return self._rmatvec(w)
+
+
+class FiniteDifferenceOperator:
+    """Frechet derivative of the nonlinear propagator by central finite
+    differences — the reference's ``forward_finite_difference_map``
+    (core/matvec.f90:246-379; selected there by uparam(1)=3.x with
+    ``isFD``, here by ``SolverConfig.finite_difference``).
+
+    Exists as a cross-check on the exact ``jax.linearize`` tangent (the
+    reference needed it because Nek's linearized solver and nonlinear solver
+    are separate code paths; here they agree by construction, so this
+    operator is validation/debug machinery).  ``order`` = 2 or 4;
+    eps = eps_base * ||base|| / ||q|| per apply (matvec.f90:289-300)."""
+
+    def __init__(
+        self,
+        ns: NavierStokes,
+        base_u: jnp.ndarray,
+        nsteps: int = 100,
+        t0: float = 0.0,
+        order: int = 2,
+        eps_base: float = 1e-6,
+    ):
+        if order not in (2, 4):
+            raise ValueError("finite-difference order must be 2 or 4")
+        self.ns = ns
+        self.sem = ns.sem
+        self.nsteps = int(nsteps)
+        self.T = self.nsteps * ns.dt
+        self.order = order
+        s = ns.sem
+        base_u = base_u.astype(s.dtype)
+        # eps ~ eps_base * ||base|| / ||q|| (matvec.f90:289-300), with a +1
+        # floor so a zero/weak base still perturbs at eps_base scale
+        eps0 = eps_base * (1.0 + float(s.norm(base_u)))
+
+        def prop(u0):
+            return ns.propagator(u0, self.nsteps, time0=t0)
+
+        def apply(q):
+            eps = jnp.asarray(eps0, s.dtype) / jnp.maximum(
+                s.norm(q), jnp.asarray(1e-30, s.dtype)
+            )
+            fp = prop(base_u + eps * q)
+            fm = prop(base_u - eps * q)
+            if order == 2:
+                return (fp - fm) / (2.0 * eps)
+            fp2 = prop(base_u + 2.0 * eps * q)
+            fm2 = prop(base_u - 2.0 * eps * q)
+            return (-fp2 + 8.0 * fp - 8.0 * fm + fm2) / (12.0 * eps)
+
+        self._matvec = jax.jit(apply)
+
+    def matvec(self, q):
+        return self._matvec(q)
 
 
 def make_tangent_propagator(ns: NavierStokes, nsteps: int):
