@@ -97,6 +97,11 @@ class SolverConfig:
     #   consistent but ill-conditioned (spurious-mode tail).
     # 'laplacian': approximate projection with the weak Laplacian K
     #   (cheapest per iteration; only safe on affine meshes).
+    finite_difference: bool = False  # evaluate the tangent map by finite
+    # differences of the *nonlinear* stepper around the base flow instead of
+    # the exact linearization (reference matvec.f90:246-379) — a cross-check
+    # path; direct matvec only (FD has no adjoint)
+    fd_order: int = 2  # central-difference order, 2 or 4
     warm_start: bool = True  # residual-correction warm start of the elliptic
     # solves from the previous step (velocity: from u^n; pressure: from the
     # carried dp) — Nek residualProj analog.  NOTE: tolerances then apply to

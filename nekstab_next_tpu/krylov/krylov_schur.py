@@ -104,7 +104,10 @@ def eigs(
             H[:] = Hs
             m = mcols
 
-    for restart in range(max_restarts):
+    # max_restarts counts Schur *condensations*; the factorization + Ritz
+    # analysis always runs at least once (so max_restarts=0 still returns a
+    # well-formed single-pass result instead of tripping on unbound state).
+    for restart in range(max_restarts + 1):
         for j in range(m, k_dim):
             beta = arnoldi_step(matvec, space, basis, H, j)
             nmv += 1
@@ -125,6 +128,8 @@ def eigs(
         )
         if np.all(res[:nev] < tol):
             return EigenResult(vals, res, vecs, basis, H, k_dim, nev, nmv, history)
+        if restart == max_restarts:
+            break
 
         # ---- Schur condensation restart ------------------------------
         def select(lams: np.ndarray) -> np.ndarray:
