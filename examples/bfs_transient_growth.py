@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from nekstab_next_tpu.algorithms import newton_krylov, transient_growth_analysis
-from nekstab_next_tpu.algorithms.fixed_point import sfd
 from nekstab_next_tpu.campaign import Campaign, Stage, artifact_exists
 from nekstab_next_tpu.cases.bfs import BackwardFacingStepCase
 from nekstab_next_tpu.config import NewtonConfig
@@ -71,15 +70,27 @@ def main():
     bf_path = "BF_bfs_00001.npz"
 
     def run_baseflow(wd):
+        # The Re=500 2-D BFS is globally *stable* (its interest is transient
+        # growth), so no SFD is needed: a short DNS settle washes the
+        # initial-condition transient out, then Newton converges
+        # quadratically — the same recipe as the cylinder pipeline.  (The
+        # reference reaches its BF_bfs fixture with plain uparam=1 marches,
+        # examples/back_fstep/baseflow/bfs.par.)
         u0 = case.initial_flow()
-        # SFD settle toward the fixed point, then Newton polish
-        r = sfd(ns, u0, tol=1e-4, max_steps=6000, chunk=250)
-        print(f"[bfs] SFD residual {r.residual:.2e} ({time.time()-t0:.0f}s)",
+        settle = max(int(round(20.0 / case.dt)), 1)  # ~20 convective units
+        st = jax.jit(lambda s: ns.advance(s, settle))(ns.make_state(u0))
+        print(f"[bfs] DNS settle {settle} steps done ({time.time()-t0:.0f}s)",
               flush=True)
+
+        def cb(it, res, T):
+            print(f"[bfs] newton iter {it}  res={res:.3e}  "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
         horizon = 1.0
         nsteps = max(int(round(horizon / case.dt)), 1)
-        res = newton_krylov(ns, r.u, horizon=horizon, nsteps=nsteps,
-                            cfg=NewtonConfig(tol=1e-9, max_iter=30), k_dim=40)
+        res = newton_krylov(ns, st.u, horizon=horizon, nsteps=nsteps,
+                            cfg=NewtonConfig(tol=1e-9, max_iter=30), k_dim=40,
+                            callback=cb)
         assert res.converged, res.history[-3:]
         save_field(os.path.join(wd, bf_path), res.u, p=res.p, time=0.0)
         print(f"[bfs] Newton residual {res.residual:.2e} "

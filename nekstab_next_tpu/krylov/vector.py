@@ -21,6 +21,24 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+
+
+def _stacked_like(leaf, capacity: int):
+    """Zeros of shape (capacity, *leaf.shape) carrying the leaf's sharding.
+
+    If the template leaf lives sharded on a device mesh (NamedSharding), the
+    stacked basis column axis is replicated and every trailing axis keeps the
+    leaf's partitioning — the sharded Krylov basis of SURVEY.md section 2.3
+    item 3 (the reference holds it distributed the same way,
+    core/eigensolvers.f90:149).  Unsharded leaves stay unsharded."""
+    z = jnp.zeros((capacity,) + leaf.shape, dtype=leaf.dtype)
+    sh = getattr(leaf, "sharding", None)
+    if isinstance(sh, NamedSharding) and any(p is not None for p in sh.spec):
+        z = jax.device_put(
+            z, NamedSharding(sh.mesh, PartitionSpec(None, *sh.spec))
+        )
+    return z
 
 
 class VectorSpace:
@@ -62,9 +80,7 @@ class Basis:
     def __init__(self, space: VectorSpace, template, capacity: int):
         self.space = space
         self.capacity = capacity
-        self.Q = jax.tree.map(
-            lambda l: jnp.zeros((capacity,) + l.shape, dtype=l.dtype), template
-        )
+        self.Q = jax.tree.map(lambda l: _stacked_like(l, capacity), template)
 
     def set(self, j: int, x) -> None:
         self.Q = jax.tree.map(
@@ -96,10 +112,11 @@ class Basis:
         newQ = jax.tree.map(
             lambda B: jnp.tensordot(V.T, B, axes=(1, 0)), self.Q
         )  # (m, ...) leading axis
+        # write into zeros_like(B) so the stacked basis keeps its sharding
+        # (zeros_like preserves NamedSharding; concatenating with fresh
+        # unsharded zeros would not)
         self.Q = jax.tree.map(
-            lambda B, Bn: jnp.concatenate(
-                [Bn, jnp.zeros((B.shape[0] - m,) + B.shape[1:], B.dtype)], axis=0
-            ),
+            lambda B, Bn: jnp.zeros_like(B).at[:m].set(Bn.astype(B.dtype)),
             self.Q,
             newQ,
         )

@@ -67,6 +67,65 @@ def test_sharded_linearized_matvec_matches(tg):
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-10
 
 
+def test_sharded_eigs_matches(tg):
+    """End-to-end sharded Krylov: eigs() with the matvec running under
+    shard_map on the 8-device mesh and the Krylov basis stored sharded
+    (SURVEY.md section 2.3 item 3 — the reference holds the basis
+    distributed the same way, core/eigensolvers.f90:149)."""
+    from jax.sharding import NamedSharding
+
+    from nekstab_next_tpu.algorithms.stability import velocity_space
+    from nekstab_next_tpu.krylov import Basis, eigs
+    from nekstab_next_tpu.utils.noise import velocity_noise
+
+    mesh, u0 = tg
+    nu, dt, nsteps = 0.1, 0.02, 6
+    sem = SEM(mesh)
+    ns = NavierStokes(sem, viscosity=nu, dt=dt)
+    base = jnp.zeros_like(u0)
+    space = velocity_space(sem)
+    x0 = velocity_noise(sem, seed=7)
+
+    # single-device reference: same seed, same k_dim, one Schur restart
+    op = LinearizedOperator(ns, base, nsteps=nsteps)
+    ref = eigs(op.matvec, space, x0, k_dim=12, nev=2, tol=1e-10,
+               max_restarts=1)
+
+    # sharded: matvec under shard_map, basis + seed element-sharded
+    ctx = ShardedContext(mesh, viscosity=nu, dt=dt)
+
+    def mv(ns_l, base_l, q):
+        return LinearizedOperator(ns_l, base_l, nsteps=nsteps)._apply(q)
+
+    f = ctx.compile(mv, in_specs=(P("e"), P("e")), out_specs=P("e"))
+    base_s = ctx.shard_field(base)
+    got = eigs(lambda q: f(base_s, q), space, ctx.shard_field(x0),
+               k_dim=12, nev=2, tol=1e-10, max_restarts=1)
+
+    # the Krylov basis itself must live sharded on the mesh (set/rotate/
+    # combine all preserve the element partitioning)
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda l: l.sharding, got.basis.Q)
+    )
+    assert all(isinstance(s, NamedSharding) for s in shardings)
+    assert all(s.spec[1] == "e" for s in shardings), shardings
+
+    # identical trajectories: same Hessenberg (through the Schur restart)
+    # and same Ritz values, to well beyond the matvec agreement level
+    np.testing.assert_allclose(got.H, ref.H, atol=1e-8)
+    np.testing.assert_allclose(
+        np.sort_complex(got.eigenvalues[:4]),
+        np.sort_complex(ref.eigenvalues[:4]),
+        rtol=1e-8, atol=1e-12,
+    )
+    # sharded basis stays orthonormal in the energy product
+    assert got.orthonormality_audit(space, ncols=6) < 1e-10
+    # mode reconstruction (Basis.combine) works on the sharded basis
+    re_g, im_g = got.mode(0)
+    assert np.isfinite(np.asarray(re_g)).all()
+    assert float(space.norm(re_g)) > 0.0
+
+
 def test_sharded_dot_matches(tg):
     mesh, u0 = tg
     sem = SEM(mesh)
