@@ -28,7 +28,10 @@ import numpy as np
 from ..config import NewtonConfig
 from ..krylov.gmres import gmres
 from ..krylov.vector import VectorSpace
-from ..stepper.linearized import make_tangent_propagator
+from ..stepper.linearized import (
+    make_orbit_tangent_propagator,
+    make_tangent_propagator,
+)
 from ..stepper.navier_stokes import NavierStokes
 
 
@@ -73,6 +76,7 @@ def newton_krylov(
     horizon: float,
     nsteps: int,
     upo: bool = False,
+    forced: bool = False,
     cfg: NewtonConfig = NewtonConfig(),
     k_dim: int = 64,
     callback: Optional[Callable] = None,
@@ -81,7 +85,23 @@ def newton_krylov(
 
     For fixed points ``horizon`` is an arbitrary integration time (larger T
     damps stable transients harder per Newton step); for UPOs it is the
-    initial period guess."""
+    initial period guess.
+
+    ``forced=True`` is the reference's uparam 2.2 (core/main.f90:183-192,
+    newton_krylov.f90:77,145): a periodic orbit of a *time-periodically
+    forced* system.  The period is then fixed at ``horizon`` (the forcing
+    period — not an unknown, so no bordered row), the orbit is phase-locked
+    to the forcing (integration starts at t=0), and the Jacobian is the
+    monodromy linearized along the trajectory with physical time threaded
+    through (``make_orbit_tangent_propagator``).  Autonomous UPOs
+    (``upo=True``) use the same trajectory-linearized monodromy plus the
+    period column / phase-condition row."""
+    if upo and forced:
+        raise ValueError(
+            "upo=True (unknown period) and forced=True (fixed forcing "
+            "period) are mutually exclusive — pick the reference's uparam "
+            "2.1 or 2.2"
+        )
     s = ns.sem
     q = u0.astype(s.dtype)
     T = float(horizon)
@@ -89,7 +109,14 @@ def newton_krylov(
 
     prop = jax.jit(lambda u, dt_: ns.propagator(u, nsteps, dt=dt_))
     prop1 = jax.jit(lambda u, dt_: ns.propagator(u, 1, dt=dt_))
-    tangent = make_tangent_propagator(ns, nsteps)
+    if upo or forced:
+        # periodic orbits: linearize along the evolving trajectory (the
+        # frozen-base tangent is exact only at a steady state)
+        orbit_tangent = make_orbit_tangent_propagator(ns, nsteps)
+        t0 = jnp.asarray(0.0, s.dtype)
+        tangent = lambda b, p, v, dt_: orbit_tangent(b, p, v, dt_, t0)
+    else:
+        tangent = make_tangent_propagator(ns, nsteps)
 
     space = _vspace_upo(s) if upo else _vspace(s)
     nmv_total = 0
@@ -113,8 +140,8 @@ def newton_krylov(
             # steady field; the Newton unknown is velocity-only, matching
             # the reference's time-stepper formulation)
             stf = jax.jit(lambda u: ns.advance(ns.make_state(u), min(nsteps, 20)))(q)
-            return NewtonResult(q, stf.p, T if upo else None, res, True, it,
-                                nmv_total, history)
+            return NewtonResult(q, stf.p, T if (upo or forced) else None,
+                                res, True, it, nmv_total, history)
 
         # dynamic GMRES tolerance (reference spec_tole: tol = res/100,
         # floored at the user tolerance, capped at 1e-4)
@@ -147,5 +174,5 @@ def newton_krylov(
             q = q + sol
         nmv_total += info["iterations"] + 2
 
-    return NewtonResult(q, p_final, T if upo else None, res, False,
-                        cfg.max_iter, nmv_total, history)
+    return NewtonResult(q, p_final, T if (upo or forced) else None, res,
+                        False, cfg.max_iter, nmv_total, history)

@@ -377,6 +377,49 @@ def make_tangent_propagator(ns: NavierStokes, nsteps: int):
     return jax.jit(apply)
 
 
+def make_orbit_tangent_propagator(ns: NavierStokes, nsteps: int,
+                                  remat: bool = True):
+    """Jit-cacheable tangent of the full nonlinear trajectory:
+    ``(base_u, base_p, q, dt, t0) -> D Phi_T(base_u) q`` linearized *along
+    the orbit* launched from ``base_u`` at physical time ``t0``.
+
+    This is the correct Jacobian for Newton on periodic orbits: the
+    linearization point evolves over the horizon (the reference stores and
+    replays the orbit for exactly this, ``uor/vor/wor`` in
+    core/matvec.f90:189-231), and physical time is threaded through every
+    step so time-periodic forcing ``ns.forcing(u, t)`` is linearized at the
+    right phase — the forced-UPO map of uparam 2.2
+    (core/main.f90:183-192, core/newton_krylov.f90:77,145).  Contrast
+    :func:`make_tangent_propagator`, which freezes the base (exact for
+    steady fixed points only).
+
+    Cost note: ``jax.jvp`` recomputes the primal trajectory inside every
+    matvec (~2x the reference's store/replay, which pays the primal once per
+    Newton iteration).  The trade buys zero recompilation across Newton
+    iterations — under jit the base is a runtime argument, whereas a
+    LightKrylov-style cached linearization would bake the orbit in as
+    constants and recompile every outer step.  ``remat`` wraps each step in
+    ``jax.checkpoint`` so trajectory storage is traded for recompute."""
+
+    def apply(base_u, base_p, q, dt, t0):
+        step = lambda c: ns.step(c, dt=dt)
+        if remat:
+            step = jax.checkpoint(step)
+
+        def prop(u0):
+            st = ns.make_state(u0, p=base_p, time=t0)
+
+            def body(c, _):
+                return step(c), None
+
+            out, _ = jax.lax.scan(body, st, None, length=nsteps)
+            return out.u
+
+        return jax.jvp(prop, (base_u,), (q,))[1]
+
+    return jax.jit(apply)
+
+
 def compute_dt_nsteps(
     mesh, umax: float, horizon: float, target_cfl: float = 0.5, dt: Optional[float] = None
 ) -> Tuple[float, int]:
