@@ -118,6 +118,8 @@ def linear_stability_analysis(
     schur_del: float = 0.10,
     max_restarts: int = 50,
     seed: int = 1234,
+    seed_mode: str = "noise",
+    seed_path: Optional[str] = None,
     x0: Optional[jnp.ndarray] = None,
     nmodes_out: Optional[int] = None,
     base_T: Optional[jnp.ndarray] = None,
@@ -131,13 +133,21 @@ def linear_stability_analysis(
 
     With a thermal stepper (``ns.nscal > 0``) the Krylov vectors are coupled
     ``(velocity, scalars)`` tuples and ``base_T`` supplies the base scalar
-    field; modes come back as tuples too."""
+    field; modes come back as tuples too.
+
+    ``seed_mode``: 'noise' | 'symmetric' | 'load' | 'baseflow' — the
+    reference's ``prepare_seed`` options (core/eigensolvers.f90:190-230);
+    'load' reads the field at ``seed_path``.  Scalars always seed with
+    noise."""
     op = _make_operator(ns, base_u, base_p, nsteps, floquet, base_T=base_T)
     coupled = ns.nscal > 0
     matvec = op.matvec if mode == "direct" else op.rmatvec
     space = coupled_space(ns.sem) if coupled else velocity_space(ns.sem)
     if x0 is None:
-        x0 = velocity_noise(ns.sem, seed=seed)
+        from ..utils.noise import make_seed
+
+        x0 = make_seed(ns.sem, mode=seed_mode, seed=seed, path=seed_path,
+                       base_u=base_u)
         if coupled:
             xT = velocity_noise(ns.sem, seed=seed + 1)[..., :1]
             xT = jnp.concatenate([xT] * ns.nscal, axis=-1) * ns.sem.tmask[..., None]
