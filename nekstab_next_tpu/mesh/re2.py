@@ -104,6 +104,35 @@ def read_re2(path: str) -> Re2Data:
                    bcs=bcs)
 
 
+def write_re2(path: str, data: Re2Data) -> None:
+    """Write a Nek5000 ``#v002`` binary ``.re2`` (inverse of :func:`read_re2`;
+    the reference relies on external tooling — genbox/gmsh converters — for
+    this).  Used to emit generated fixture meshes that both this framework
+    and Nek5000 can ingest."""
+    nc = 4 if data.ndim == 2 else 8
+    with open(path, "wb") as fh:
+        hdr = f"#v002 {data.nelem:9d} {data.ndim:2d} {data.nelem:9d}"
+        fh.write(hdr.ljust(80).encode("ascii"))
+        fh.write(struct.pack("<f", 6.54321))
+        for e in range(data.nelem):
+            block = np.zeros(1 + data.ndim * nc)
+            for d in range(data.ndim):
+                block[1 + d * nc:1 + (d + 1) * nc] = data.corners[e, :, d]
+            fh.write(block.astype("<f8").tobytes())
+
+        def pack_records(records, tagbytes: int):
+            fh.write(np.asarray([float(len(records))], "<f8").tobytes())
+            for (e, sd), (tag, p) in records.items():
+                row = np.zeros(7)
+                row[0], row[1] = e + 1, sd + 1
+                row[2:7] = p[:5]
+                fh.write(row.astype("<f8").tobytes())
+                fh.write(tag.encode("ascii")[:tagbytes].ljust(8, b"\x00"))
+
+        pack_records(data.curves, 1)
+        pack_records(data.bcs, 3)
+
+
 def _arc_points(A: np.ndarray, B: np.ndarray, radius: float,
                 s: np.ndarray) -> np.ndarray:
     """Points along the circular arc A -> B of given (signed) radius at
@@ -228,6 +257,147 @@ def mesh_from_re2(
 # -> mesh3.face index (0..5: xi-, xi+, eta-, eta+, zeta-, zeta+)
 _NEK_FACE3 = {0: 2, 1: 1, 2: 3, 3: 0, 4: 4, 5: 5}
 
+# Nek preprocessor edge numbers (1..12) as 0-based corner pairs: 1-4 around
+# the bottom (zeta-) face, 5-8 around the top, 9-12 vertical (genxyz.f).
+_NEK_EDGES3 = [
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    (4, 5), (5, 6), (6, 7), (7, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+]
+
+# corner index (xi, eta, zeta) -> preprocessor corner number (0-based)
+_CORNER3 = {
+    (0, 0, 0): 0, (1, 0, 0): 1, (1, 1, 0): 2, (0, 1, 0): 3,
+    (0, 0, 1): 4, (1, 0, 1): 5, (1, 1, 1): 6, (0, 1, 1): 7,
+}
+
+
+def _edge_points_3d(A: np.ndarray, B: np.ndarray,
+                    curve: Optional[Tuple[str, np.ndarray]],
+                    s: np.ndarray) -> np.ndarray:
+    """Points along a hex edge A -> B at parameters ``s`` in [0,1]."""
+    if curve is None:
+        return A[None, :] + s[:, None] * (B - A)[None, :]
+    ctype, p = curve
+    if ctype == "m":  # midside-point quadratic (Nek 'm' edge record)
+        M = p[:3]
+        l0 = 2 * (s - 0.5) * (s - 1.0)
+        l1 = -4 * s * (s - 1.0)
+        l2 = 2 * s * (s - 0.5)
+        return l0[:, None] * A + l1[:, None] * M[None, :] + l2[:, None] * B
+    if ctype == "C":
+        # Nek's arcsrf: the arc lives in the xy-plane (extruded meshes);
+        # z interpolates linearly along the edge
+        xy = _arc_points(A[:2], B[:2], float(p[0]), s)
+        zl = A[2] + s * (B[2] - A[2])
+        return np.concatenate([xy, zl[:, None]], axis=1)
+    raise NotImplementedError(f"3-D curve type {ctype!r} on an edge")
+
+
+def _sphere_project(pts: np.ndarray, center: np.ndarray,
+                    radius: float) -> np.ndarray:
+    """Radial projection onto the sphere (center, |radius|) — Nek's 's'
+    spherical-face generation (genxyz.f ``sphsrf``): points move along rays
+    from the center; corners already on the sphere stay put."""
+    d = pts - center
+    r = np.linalg.norm(d, axis=-1, keepdims=True)
+    return center + abs(radius) * d / np.maximum(r, 1e-300)
+
+
+def _tf_face(eu0, eu1, ev0, ev1, C00, C10, C01, C11, s):
+    """2-D transfinite (Gordon-Hall) face grid (n, n, 3) with indices [u, v]
+    from its four edge curves (each (n, 3), ascending parameter) and corner
+    coordinates."""
+    u = s[:, None, None]
+    v = s[None, :, None]
+    return (
+        (1 - v) * eu0[:, None, :] + v * eu1[:, None, :]
+        + (1 - u) * ev0[None, :, :] + u * ev1[None, :, :]
+        - ((1 - u) * (1 - v) * C00 + u * (1 - v) * C10
+           + (1 - u) * v * C01 + u * v * C11)
+    )
+
+
+def _curved_hex_coords(corners: np.ndarray,
+                       curves: Dict[int, Tuple[str, np.ndarray]],
+                       sphere: Dict[int, Tuple[np.ndarray, float]],
+                       s: np.ndarray) -> np.ndarray:
+    """GLL coordinates (n, n, n, 3) of one hex by 3-D Gordon-Hall transfinite
+    blending of its 6 faces / 12 edges / 8 corners.
+
+    ``curves``: Nek edge records (0-based edge number -> ('C'|'m', params));
+    ``sphere``: 's' face records (mesh3 face index -> (center, radius)).
+    Faces touched by an 's' record (and their boundary edges) are projected
+    radially onto the sphere — the TPU-native equivalent of Nek's genxyz.f
+    sphsrf/arcsrf machinery."""
+    n = len(s)
+    E = {}
+    for i, (a, b) in enumerate(_NEK_EDGES3):
+        E[i] = _edge_points_3d(corners[a], corners[b], curves.get(i), s)
+
+    # edges organized by direction with ascending parameter:
+    # EX[(eta, zeta)], EY[(xi, zeta)], EZ[(xi, eta)]
+    EX = {(0, 0): E[0], (1, 0): E[2][::-1], (0, 1): E[4], (1, 1): E[6][::-1]}
+    EY = {(1, 0): E[1], (0, 0): E[3][::-1], (1, 1): E[5], (0, 1): E[7][::-1]}
+    EZ = {(0, 0): E[8], (1, 0): E[9], (1, 1): E[10], (0, 1): E[11]}
+
+    # faces (mesh3 index) -> the four (dict, key) edge slots on its boundary
+    face_edges = {
+        0: [(EY, (0, 0)), (EY, (0, 1)), (EZ, (0, 0)), (EZ, (0, 1))],
+        1: [(EY, (1, 0)), (EY, (1, 1)), (EZ, (1, 0)), (EZ, (1, 1))],
+        2: [(EX, (0, 0)), (EX, (0, 1)), (EZ, (0, 0)), (EZ, (1, 0))],
+        3: [(EX, (1, 0)), (EX, (1, 1)), (EZ, (0, 1)), (EZ, (1, 1))],
+        4: [(EX, (0, 0)), (EX, (1, 0)), (EY, (0, 0)), (EY, (1, 0))],
+        5: [(EX, (0, 1)), (EX, (1, 1)), (EY, (0, 1)), (EY, (1, 1))],
+    }
+    for f, (c, R) in sphere.items():
+        for d, key in face_edges[f]:
+            d[key] = _sphere_project(d[key], c, R)
+
+    C = lambda i, j, k: corners[_CORNER3[(i, j, k)]]
+
+    # the six face grids (2-D transfinite from the final edge curves)
+    Fxi = [_tf_face(EY[(a, 0)], EY[(a, 1)], EZ[(a, 0)], EZ[(a, 1)],
+                    C(a, 0, 0), C(a, 1, 0), C(a, 0, 1), C(a, 1, 1), s)
+           for a in (0, 1)]  # indices [eta, zeta]
+    Fet = [_tf_face(EX[(b, 0)], EX[(b, 1)], EZ[(0, b)], EZ[(1, b)],
+                    C(0, b, 0), C(1, b, 0), C(0, b, 1), C(1, b, 1), s)
+           for b in (0, 1)]  # indices [xi, zeta]
+    Fze = [_tf_face(EX[(0, c_)], EX[(1, c_)], EY[(0, c_)], EY[(1, c_)],
+                    C(0, 0, c_), C(1, 0, c_), C(0, 1, c_), C(1, 1, c_), s)
+           for c_ in (0, 1)]  # indices [xi, eta]
+    for f, grid in ((0, Fxi[0]), (1, Fxi[1]), (2, Fet[0]), (3, Fet[1]),
+                    (4, Fze[0]), (5, Fze[1])):
+        if f in sphere:
+            c, R = sphere[f]
+            if f in (0, 1):
+                Fxi[f] = _sphere_project(grid, c, R)
+            elif f in (2, 3):
+                Fet[f - 2] = _sphere_project(grid, c, R)
+            else:
+                Fze[f - 4] = _sphere_project(grid, c, R)
+
+    xi = s[:, None, None, None]
+    eta = s[None, :, None, None]
+    zeta = s[None, None, :, None]
+    X = (
+        (1 - xi) * Fxi[0][None, :, :, :] + xi * Fxi[1][None, :, :, :]
+        + (1 - eta) * Fet[0][:, None, :, :] + eta * Fet[1][:, None, :, :]
+        + (1 - zeta) * Fze[0][:, :, None, :] + zeta * Fze[1][:, :, None, :]
+    )
+    # subtract the doubly-counted edges
+    w = {0: lambda t: (1 - t), 1: lambda t: t}
+    for (a, b), pts in EX.items():
+        X -= (w[a](eta) * w[b](zeta)) * pts[:, None, None, :]
+    for (a, b), pts in EY.items():
+        X -= (w[a](xi) * w[b](zeta)) * pts[None, :, None, :]
+    for (a, b), pts in EZ.items():
+        X -= (w[a](xi) * w[b](eta)) * pts[None, None, :, :]
+    # add back the corners
+    for (i, j, k), cidx in _CORNER3.items():
+        X += (w[i](xi) * w[j](eta) * w[k](zeta)) * corners[cidx]
+    return X
+
 
 def mesh3_from_re2(
     path: str,
@@ -236,31 +406,65 @@ def mesh3_from_re2(
     bc_override: Optional[Dict[str, "BC"]] = None,
     boundary_ids: Optional[Dict[int, "BC"]] = None,
 ):
-    """3-D analog of :func:`mesh_from_re2` (hex elements, trilinear geometry
-    from the 8 preprocessor corners; curved faces not supported)."""
+    """3-D analog of :func:`mesh_from_re2`: hex elements with full curved-side
+    support — 'C' (circular arc, xy-plane) and 'm' (midside point) edge
+    records plus 's' (sphere) face records, blended into the element interior
+    by 3-D Gordon-Hall transfinite interpolation (the equivalent of Nek's
+    genxyz.f geometry generation that the reference inherits)."""
     from .mesh3 import Mesh3D, build_mesh_3d  # noqa: F401 (Mesh3D re-export)
 
     data = read_re2(path)
     if data.ndim != 3:
         raise ValueError("2-D mesh: use mesh_from_re2")
-    if data.curves:
-        raise NotImplementedError("curved faces in 3-D .re2 not supported yet")
+    return _mesh3_from_data(data, order, coord_key=coord_key,
+                            bc_override=bc_override,
+                            boundary_ids=boundary_ids)
+
+
+def _mesh3_from_data(
+    data: Re2Data,
+    order: int,
+    coord_key: Optional[Callable] = None,
+    bc_override: Optional[Dict[str, "BC"]] = None,
+    boundary_ids: Optional[Dict[int, "BC"]] = None,
+):
+    from .mesh3 import build_mesh_3d
+
     n = order + 1
     z, _ = gll_points_weights(n)
     s = (z + 1.0) / 2.0
-    # trilinear shape functions at the GLL grid, preprocessor corner order:
-    # bottom (zeta=0): (-,-) (+,-) (+,+) (-,+), then the top copy
-    xi = s[:, None, None]
-    eta = s[None, :, None]
-    zeta = s[None, None, :]
-    wts = [
-        (1 - xi) * (1 - eta), xi * (1 - eta), xi * eta, (1 - xi) * eta,
-    ]
-    W = np.stack([w * (1 - zeta) for w in wts] + [w * zeta for w in wts])
-    # (8, n, n, n); coords: corners (nelem, 8, 3)
-    XYZ = np.einsum("cijk,ecd->deijk", W, data.corners)  # (3, nelem, n,n,n)
-
     nelem = data.nelem
+
+    # split curve records: edge records ('C'/'m', iside 1..12) vs sphere
+    # faces ('s', iside = preprocessor face 1..6)
+    edge_curves: Dict[int, Dict[int, Tuple[str, np.ndarray]]] = {}
+    sphere_faces: Dict[int, Dict[int, Tuple[np.ndarray, float]]] = {}
+    for (e, sd), (ctype, p) in data.curves.items():
+        if ctype == "s":
+            sphere_faces.setdefault(e, {})[_NEK_FACE3[sd]] = (
+                p[1:4].copy(), float(p[0])
+            )
+        else:
+            edge_curves.setdefault(e, {})[sd] = (ctype, p)
+
+    if not edge_curves and not sphere_faces:
+        # fast path: all-straight hexes are trilinear
+        xi = s[:, None, None]
+        eta = s[None, :, None]
+        zeta = s[None, None, :]
+        wts = [
+            (1 - xi) * (1 - eta), xi * (1 - eta), xi * eta, (1 - xi) * eta,
+        ]
+        W = np.stack([w * (1 - zeta) for w in wts] + [w * zeta for w in wts])
+        XYZ = np.einsum("cijk,ecd->deijk", W, data.corners)
+    else:
+        XYZ = np.zeros((3, nelem, n, n, n))
+        for e in range(nelem):
+            grid = _curved_hex_coords(
+                data.corners[e], edge_curves.get(e, {}),
+                sphere_faces.get(e, {}), s,
+            )
+            XYZ[:, e] = np.moveaxis(grid, -1, 0)
     face_bc = np.empty((nelem, 6), dtype=object)
     face_bc[:] = None
     cbc_map = dict(_CBC_MAP)

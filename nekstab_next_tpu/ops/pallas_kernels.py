@@ -182,14 +182,22 @@ class FusedHelmholtz:
         smem = pltpu.SMEM if _HAS_PLTPU else None
         vmem = pltpu.VMEM if _HAS_PLTPU else None
 
+        # index maps derive every output from the traced grid index (i * 0
+        # instead of the literal 0): under jax_enable_x64 Python int
+        # constants in an index map lower as i64, which Mosaic cannot
+        # legalize ("func.return (i64, i64)"), while the grid index itself
+        # stays i32
         def spec_scalar():
-            return pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=smem)
+            return pl.BlockSpec((1, 2), lambda i: (i * 0, i * 0),
+                                memory_space=smem)
 
         def spec_mat():
-            return pl.BlockSpec((n2p, n2p), lambda i: (0, 0), memory_space=vmem)
+            return pl.BlockSpec((n2p, n2p), lambda i: (i * 0, i * 0),
+                                memory_space=vmem)
 
         def spec_field():
-            return pl.BlockSpec((n2p, be), lambda i: (0, i), memory_space=vmem)
+            return pl.BlockSpec((n2p, be), lambda i: (i * 0, i),
+                                memory_space=vmem)
 
         in_specs = (
             [spec_scalar()]
