@@ -235,6 +235,108 @@ class ResolventOperator:
         return (x, -x4)
 
 
+class FloquetResolventOperator(ResolventOperator):
+    """R(omega) around a *T_b-periodic base orbit* — the reference's
+    Floquet-resolvent mode (uparam 3.41, RELEASE.md; ``setupLinearSolver``
+    with the orbit stored/replayed, core/linear_operators.f90:133-146).
+
+    The forced linearized equations integrate *along the orbit* launched
+    from ``base_u`` (phase t=0), with the forcing phase locked to the orbit:
+    ``omega`` must be a harmonic of the orbit, omega = 2 pi m / base_period,
+    so that the composite system is base_period-periodic and the
+    periodicity solve (I - M) x = b is well posed over one orbit period.
+    The linearization point is built once by ``jax.linearize`` over the
+    nonlinear trajectory (the stored residuals are the reference's orbit
+    arrays uor/vor/wor), so each matvec costs only linear steps.
+
+    Caveat shared with the reference's resolvent_solver: the T/4 phase
+    trick recovers Im(uhat) exactly only for a monochromatic response; on a
+    periodic base the response carries Floquet sidebands, for which the
+    harmonic-resolvent module (algorithms/harmonic.py) is the complete
+    treatment."""
+
+    def __init__(
+        self,
+        ns: NavierStokes,
+        base_u: jnp.ndarray,
+        omega: float,
+        base_p: Optional[jnp.ndarray] = None,
+        base_period: Optional[float] = None,
+        steps_per_period: int = 128,
+        gmres_kdim: int = 64,
+        gmres_tol: float = 1e-8,
+        remat: bool = True,
+    ):
+        assert steps_per_period % 4 == 0, "need T/4 to land on a step"
+        self.ns = ns
+        self.sem = ns.sem
+        self.omega = float(omega)
+        self.T = (
+            float(base_period) if base_period is not None
+            else 2.0 * np.pi / self.omega
+        )
+        harmonic = self.omega * self.T / (2.0 * np.pi)
+        if abs(harmonic - round(harmonic)) > 1e-8:
+            raise ValueError(
+                f"omega={omega} is not a harmonic of the base period "
+                f"{self.T} (omega T / 2 pi = {harmonic:.6f})"
+            )
+        self.nsteps = int(steps_per_period)
+        self.dt = self.T / self.nsteps
+        self.gmres_kdim = gmres_kdim
+        self.gmres_tol = gmres_tol
+        s = ns.sem
+
+        base_u = base_u.astype(s.dtype)
+        base_p = (
+            jnp.zeros(ns.p_shape, dtype=s.dtype) if base_p is None
+            else base_p.astype(s.dtype)
+        )
+        stepf = lambda c, fc: ns.step(c, fc=fc, dt=self.dt)
+        if remat:
+            stepf = jax.checkpoint(stepf)
+
+        def make_prop(nsteps):
+            def prop(q0, fr, fi):
+                st = ns.make_state(base_u + q0, p=base_p, time=0.0)
+
+                def body(c, n):
+                    ph = self.omega * self.dt * n
+                    fc = fr * jnp.cos(ph) - fi * jnp.sin(ph)
+                    return stepf(c, fc), None
+
+                out, _ = jax.lax.scan(body, st, jnp.arange(nsteps))
+                return out.u
+
+            return prop
+
+        zero = jnp.zeros_like(base_u)
+        primal, lin_full = jax.linearize(make_prop(self.nsteps), zero, zero, zero)
+        self.monodromy_drift = float(s.norm(primal - base_u))
+        self._lin_full = jax.jit(lin_full)
+        _, lin_quarter = jax.linearize(
+            make_prop(self.nsteps // 4), zero, zero, zero
+        )
+        self._lin_quarter = jax.jit(lin_quarter)
+
+        self._matvec_c = jax.jit(self._apply)
+        self._rmatvec_c = None
+        self.n_matvecs = 0
+        self._deflate_mean = not ns.sem.has_pressure_dirichlet and not bool(
+            np.any(np.asarray(ns.sem.vmask) == 0.0)
+        )
+
+    def _integrate(self, q0, f_re, f_im, nsteps):
+        if nsteps == self.nsteps:
+            return self._lin_full(q0, f_re, f_im)
+        if nsteps == self.nsteps // 4:
+            return self._lin_quarter(q0, f_re, f_im)
+        raise ValueError(
+            f"Floquet resolvent integrates one period ({self.nsteps} steps) "
+            f"or a quarter period, got {nsteps}"
+        )
+
+
 def _gmres_device(matvec, b, sem, k_dim: int = 40, restarts: int = 4):
     """Small fully-on-device restarted GMRES (needed under
     custom_linear_solve where host callbacks are unavailable)."""
@@ -282,12 +384,23 @@ def resolvent_analysis(
     tol: float = 1e-6,
     steps_per_period: int = 128,
     seed: int = 1234,
+    floquet: bool = False,
+    base_period: Optional[float] = None,
 ) -> ResolventResult:
     """Leading resolvent gains/modes at frequency ``omega`` (reference
-    core/linear_stab.f90:121-163)."""
-    op = ResolventOperator(
-        ns, base_u, omega, base_p=base_p, steps_per_period=steps_per_period
-    )
+    core/linear_stab.f90:121-163).  ``floquet=True`` analyzes the forced
+    response around a *periodic* base orbit launched from ``base_u`` with
+    period ``base_period`` (uparam 3.41); ``omega`` must then be one of the
+    orbit's harmonics."""
+    if floquet:
+        op = FloquetResolventOperator(
+            ns, base_u, omega, base_p=base_p, base_period=base_period,
+            steps_per_period=steps_per_period,
+        )
+    else:
+        op = ResolventOperator(
+            ns, base_u, omega, base_p=base_p, steps_per_period=steps_per_period
+        )
     space = _complex_space(ns.sem)
     x0r = velocity_noise(ns.sem, seed=seed)
     x0i = velocity_noise(ns.sem, seed=seed + 1)

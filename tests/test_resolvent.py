@@ -57,3 +57,36 @@ def test_resolvent_pure_matches_matvec(setup):
     b_re, b_im = op.matvec_pure((f_re, f_im))
     assert float(sem.norm(a_re[..., 1] - b_re[..., 1])) < 1e-6
     assert float(sem.norm(a_im[..., 1] - b_im[..., 1])) < 1e-6
+
+
+def test_floquet_resolvent_matches_steady_on_steady_base(setup):
+    """uparam 3.41 consistency: around a constant 'orbit' the Floquet
+    resolvent (trajectory-linearized, orbit store/replay) must reproduce the
+    frozen-base steady resolvent."""
+    from nekstab_next_tpu.algorithms.resolvent import FloquetResolventOperator
+
+    mesh, sem, ns, base, nu = setup
+    omega = 0.7
+    x = jnp.asarray(mesh.x)
+    zero = jnp.zeros_like(x)
+    f_re = jnp.stack([zero, jnp.cos(x)], axis=-1)
+    f_im = jnp.stack([zero, jnp.sin(x)], axis=-1)
+
+    op_s = ResolventOperator(ns, base, omega, steps_per_period=32,
+                             gmres_kdim=20, gmres_tol=1e-10)
+    op_f = FloquetResolventOperator(ns, base, omega, steps_per_period=32,
+                                    gmres_kdim=20, gmres_tol=1e-10)
+    assert op_f.monodromy_drift < 1e-12  # steady base = drift-free orbit
+
+    a_re, a_im = op_s.matvec((f_re, f_im))
+    b_re, b_im = op_f.matvec((f_re, f_im))
+    scale = float(sem.norm(a_re[..., 1]))
+    assert float(sem.norm(a_re[..., 1] - b_re[..., 1])) < 1e-8 * scale
+    assert float(sem.norm(a_im[..., 1] - b_im[..., 1])) < 1e-8 * scale
+
+    # non-harmonic frequency is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        FloquetResolventOperator(ns, base, omega, base_period=10.0,
+                                 steps_per_period=32)
