@@ -104,58 +104,89 @@ def boostconv_dns(
     max_steps: int = 200_000,
     callback: Optional[Callable] = None,
 ) -> FixedPointResult:
-    """BoostConv-accelerated march to a steady state (reference
-    fixedp.f90:218-329, after Citro et al. 2017).
+    """BoostConv-accelerated march to a steady state — a faithful rebuild of
+    the reference's ``BoostConv``/``boostconv_core`` (core/fixedp.f90:218-329,
+    after Citro et al. 2017).
 
-    Every ``skip`` steps the raw residual  r = u_new - u_old  is replaced by a
-    boosted residual  xi  built from a rolling subspace of past input/output
-    residual pairs; the small least-squares solve runs on host (the
-    reference's ``qr_dec`` + triangular solve, fixedp.f90:331-403)."""
+    Every ``skip`` DNS steps the ONE-step residual  r = u(t) - u(t-dt)  is
+    replaced by a boosted residual  xi  and the state reset to
+    ``u(t-dt) + xi``.  The accelerator keeps cyclic buffers of input-residual
+    differences Y and boosted outputs X with the reference's recursive
+    update (y_rot -= r; x_rot -= y_rot), solves the small least-squares
+    problem on the Y subspace by modified Gram-Schmidt QR in the
+    mass-weighted inner product (``qr_dec``, :331-385, with its zero-column
+    guards) and back-substitution (``linear_system``, :387-403), then
+    emits  xi = r + X ccb."""
     s = ns.sem
-    dot = lambda a, b: float(
-        s.inner(a[..., 0], b[..., 0], masked=False) + s.inner(a[..., 1], b[..., 1], masked=False)
+    nd = s.ndim
+    dot = lambda a, b: sum(
+        float(s.inner(a[..., d], b[..., d], masked=False)) for d in range(nd)
     )
 
-    advance = jax.jit(lambda st: ns.advance(st, skip))
+    adv = jax.jit(lambda st: ns.advance(st, skip - 1)) if skip > 1 else None
+    one = jax.jit(ns.step)
     st = ns.make_state(u0)
-    u_old = st.u
-    X: list = []  # input residuals
-    Y: list = []  # output residuals (difference between consecutive inputs)
-    r_prev = None
+    m = subspace
+    zeros = jnp.zeros_like(st.u)
+    X = [zeros] * m
+    Y = [zeros] * m
+    rot = 0
+    init = False
     history = []
     steps = 0
     res = np.inf
     while steps < max_steps:
-        st = advance(st)
+        st_prev = adv(st) if adv is not None else st
+        st = one(st_prev)
         steps += skip
-        r = st.u - u_old
+        r = st.u - st_prev.u
         res = float(np.sqrt(max(dot(r, r), 0.0)))
         history.append((steps, res))
         if callback is not None:
             callback(steps, res)
+        if not np.isfinite(res):
+            raise FloatingPointError(f"BoostConv diverged at step {steps}")
         if res < tol:
             return FixedPointResult(st.u, st.p, res, True, steps, history)
 
-        # --- boost ----------------------------------------------------
-        if r_prev is not None:
-            X.append(r_prev)
-            Y.append(r_prev - r)
-            if len(X) > subspace:
-                X.pop(0)
-                Y.pop(0)
-        xi = r
-        if X:
-            # least squares  min || r - Y c ||_B  on the small subspace
-            G = np.array([[dot(a, b) for b in Y] for a in Y])
-            rhs = np.array([dot(a, r) for a in Y])
-            c, *_ = np.linalg.lstsq(G, rhs, rcond=1e-12)
-            # boosted residual: xi = r + sum c_i (X_i - Y_i)
-            for ci, Xi, Yi in zip(c, X, Y):
-                xi = xi + ci * (Xi - Yi)
-        r_prev = r
-        u_new = u_old + xi
-        st = ns.make_state(u_new, p=st.p, time=float(st.time))
-        u_old = u_new
+        # --- boostconv_core -------------------------------------------
+        if not init:
+            X[0] = r
+            Y[0] = r
+            rot = 0
+            init = True
+            xi = r  # first call: unboosted (v = vold + r)
+        else:
+            Y[rot] = Y[rot] - r
+            X[rot] = X[rot] - Y[rot]
+            # MGS QR of the Y buffer in the mass-weighted product, with the
+            # reference's zero/degenerate-column guard (norma -> 1, q -> 0)
+            Q = []
+            R = np.zeros((m, m))
+            for j in range(m):
+                v = Y[j]
+                for i in range(j):
+                    R[i, j] = dot(v, Q[i])
+                    v = v - R[i, j] * Q[i]
+                nrm2 = dot(v, v)
+                if nrm2 < 1e-60:
+                    Q.append(jax.tree.map(jnp.zeros_like, v))
+                    R[j, j] = 1.0
+                else:
+                    nrm = float(np.sqrt(nrm2))
+                    Q.append(v / nrm)
+                    R[j, j] = nrm
+            c = np.array([dot(r, q) for q in Q])
+            ccb = np.zeros(m)
+            for j in range(m - 1, -1, -1):
+                ccb[j] = (c[j] - R[j, j + 1:] @ ccb[j + 1:]) / R[j, j]
+            rot = (rot + 1) % m
+            Y[rot] = r
+            xi = r
+            for j in range(m):
+                xi = xi + ccb[j] * X[j]
+            X[rot] = xi
+        st = ns.make_state(st_prev.u + xi, p=st.p, time=float(st.time))
     return FixedPointResult(st.u, st.p, res, False, steps, history)
 
 
