@@ -107,6 +107,74 @@ def read_nek_field(path: str) -> NekField:
         return out
 
 
+def write_nek_field(
+    path: str,
+    u: Optional[np.ndarray] = None,
+    p: Optional[np.ndarray] = None,
+    T: Optional[np.ndarray] = None,
+    x: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+    z: Optional[np.ndarray] = None,
+    time: float = 0.0,
+    istep: int = 0,
+    wdsize: int = 8,
+) -> None:
+    """Write a native Nek5000 ``#std`` binary field file — the reference's
+    ``outpost`` (Nek prepost.f ``mfo_outfld``), so results drop into the
+    Nek/VisIt/ParaView toolchain and the reference's own plot scripts.
+
+    Inputs use this framework's layout: scalars ``(nelem, i, j[, k])`` with
+    ``i`` the x-direction node index, vectors with a trailing component
+    axis.  ``wdsize=8`` matches the reference's 64-bit ``BF_`` outputs
+    (``param(63)=1``, core/newton_krylov.f90:155-163)."""
+    ref = next(a for a in (u, p, T, x) if a is not None)
+    nelem = ref.shape[0]
+    ndim_mesh = ref.ndim - 1 - (1 if ref is u else 0)
+    if u is not None:
+        ndim_mesh = u.ndim - 2
+
+    def to_nek(a):
+        a = np.asarray(a, dtype=np.float64)
+        if ndim_mesh == 2:  # (e, i, j) -> (e, 1, j, i)
+            return np.transpose(a, (0, 2, 1))[:, None, :, :]
+        return np.transpose(a, (0, 3, 2, 1))  # (e,i,j,k) -> (e,k,j,i)
+
+    if ndim_mesh == 2:
+        n = ref.shape[1]
+        nx, ny, nz = n, ref.shape[2], 1
+    else:
+        nx, ny, nz = ref.shape[1], ref.shape[2], ref.shape[3]
+    rdcode = ""
+    blocks = []
+    if x is not None:
+        comps = [to_nek(x), to_nek(y)] + ([to_nek(z)] if ndim_mesh == 3 else [])
+        blocks.append(np.stack(comps, axis=1))
+        rdcode += "X"
+    if u is not None:
+        comps = [to_nek(u[..., d]) for d in range(u.shape[-1])]
+        blocks.append(np.stack(comps, axis=1))
+        rdcode += "U"
+    if p is not None:
+        blocks.append(to_nek(p)[:, None])
+        rdcode += "P"
+    if T is not None:
+        Ta = T[..., 0] if T.ndim == ndim_mesh + 2 else T
+        blocks.append(to_nek(Ta)[:, None])
+        rdcode += "T"
+
+    hdr = (
+        f"#std {wdsize:1d} {nx:2d} {ny:2d} {nz:2d} {nelem:10d} {nelem:10d} "
+        f"{time:20.13E} {istep:9d} {0:6d} {1:6d} {rdcode:<10s} "
+        f"{0.0:15.7E} F"
+    )
+    with open(path, "wb") as f:
+        f.write(hdr.ljust(132).encode("ascii"))
+        f.write(struct.pack("<f", 6.54321))
+        f.write(np.arange(1, nelem + 1, dtype="<i4").tobytes())
+        for b in blocks:
+            f.write(np.ascontiguousarray(b, dtype=f"<f{wdsize}").tobytes())
+
+
 def nek_to_layout(a: np.ndarray) -> np.ndarray:
     """Convert a 2-D Nek block (nelem, 1, ny, nx[, ndim]) to this framework's
     (nelem, i, j[, ndim]) layout with i the x-direction node index."""

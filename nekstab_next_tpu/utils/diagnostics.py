@@ -132,6 +132,38 @@ def surface_force_and_torque(
 
 
 # ----------------------------------------------------------------------
+def locate_probes(mesh, points) -> list:
+    """Nearest-GLL-node probe locator — the reference's ``pointcheck``
+    (core/utils.f90:5-27): for each requested (x, y[, z]) return
+    ``(elem, flat_node_index, distance)`` of the closest grid node, so
+    time-series probes read ``field[elem].reshape(-1)[node]``."""
+    coords = [np.asarray(mesh.x), np.asarray(mesh.y)]
+    if getattr(mesh, "ndim", 2) == 3 or hasattr(mesh, "z"):
+        z = getattr(mesh, "z", None)
+        if z is not None:
+            coords.append(np.asarray(z))
+    nelem = coords[0].shape[0]
+    flat = np.stack([c.reshape(nelem, -1) for c in coords], axis=-1)
+    out = []
+    for pt in np.atleast_2d(np.asarray(points, dtype=np.float64)):
+        d2 = np.sum((flat - pt[: flat.shape[-1]]) ** 2, axis=-1)
+        e, node = np.unravel_index(np.argmin(d2), d2.shape)
+        out.append((int(e), int(node), float(np.sqrt(d2[e, node]))))
+    return out
+
+
+def probe_values(field, locs, vector: bool = False) -> np.ndarray:
+    """Sample a field (nelem, *spatial[, comp]) at ``locate_probes``
+    locations; ``vector=True`` keeps the trailing component axis."""
+    f = np.asarray(field)
+    nelem = f.shape[0]
+    if vector:
+        flat = f.reshape(nelem, -1, f.shape[-1])
+        return np.array([flat[e, n, :] for (e, n, _) in locs])
+    flat = f.reshape(nelem, -1)
+    return np.array([flat[e, n] for (e, n, _) in locs])
+
+
 def zero_crossings(times: np.ndarray, signal: np.ndarray) -> np.ndarray:
     """Upward zero-crossing instants by linear interpolation — the
     Poincare-section period tracker (reference ``zero_crossing``,

@@ -121,3 +121,48 @@ def test_zero_crossings_period():
     assert np.allclose(periods, 3.0, atol=1e-4)
     p2 = periods_from_signal(t, s + 5.0)  # mean-shifted
     assert np.allclose(p2, 3.0, atol=1e-4)
+
+
+def test_nek_field_writer_roundtrip(tmp_path):
+    """write_nek_field emits a '#std' file our own reader (and Nek's
+    toolchain) can ingest — the reference's outpost analog."""
+    import os
+
+    from nekstab_next_tpu.io.nek import nek_to_layout, write_nek_field
+    from nekstab_next_tpu.mesh import box_mesh_2d
+
+    mesh = box_mesh_2d(3, 2, order=4, x0=0, x1=3, y0=0, y1=2)
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(mesh.x.shape + (2,))
+    p = rng.standard_normal(mesh.x.shape)
+    path = os.path.join(tmp_path, "BF_test0.f00001")
+    write_nek_field(path, u=u, p=p, x=mesh.x, y=mesh.y, time=2.5, istep=7)
+
+    f = read_nek_field(path)
+    assert f.ndim == 2 and f.nelem == mesh.nelem
+    assert abs(f.time - 2.5) < 1e-12 and f.istep == 7
+    assert f.rdcode.upper().startswith("XUP")
+    np.testing.assert_allclose(nek_to_layout(f.x), mesh.x, atol=1e-13)
+    np.testing.assert_allclose(nek_to_layout(f.u), u, atol=1e-13)
+    np.testing.assert_allclose(nek_to_layout(f.p), p, atol=1e-13)
+
+
+def test_probe_locator():
+    """locate_probes = the reference's pointcheck (utils.f90:5-27)."""
+    from nekstab_next_tpu.mesh import box_mesh_2d
+    from nekstab_next_tpu.utils.diagnostics import locate_probes, probe_values
+
+    mesh = box_mesh_2d(4, 4, order=5, x0=0, x1=1, y0=0, y1=1)
+    locs = locate_probes(mesh, [(0.51, 0.52), (0.0, 0.0)])
+    # sampled coordinates must be the nearest grid nodes
+    xs = probe_values(mesh.x, locs)
+    ys = probe_values(mesh.y, locs)
+    assert abs(xs[0] - 0.51) < 0.55 / 4 and abs(ys[0] - 0.52) < 0.55 / 4
+    assert xs[1] == 0.0 and ys[1] == 0.0 and locs[1][2] == 0.0
+    # consistency: distance equals |(x,y) - p|
+    d = np.hypot(xs[0] - 0.51, ys[0] - 0.52)
+    assert abs(d - locs[0][2]) < 1e-14
+    # vector sampling keeps components
+    u = np.stack([mesh.x, mesh.y], axis=-1)
+    uv = probe_values(u, locs, vector=True)
+    assert uv.shape == (2, 2) and uv[1, 0] == 0.0
