@@ -10,7 +10,9 @@ embarrassingly parallel under the SPMD mesh."""
 from .vortex import (
     velocity_gradient,
     vorticity,
+    antisymmetric_criterion,
     q_criterion,
+    symmetric_criterion,
     lambda2_criterion,
     delta_criterion,
     swirling_strength,
@@ -30,7 +32,9 @@ from .sensitivity import (
 __all__ = [
     "velocity_gradient",
     "vorticity",
+    "antisymmetric_criterion",
     "q_criterion",
+    "symmetric_criterion",
     "lambda2_criterion",
     "delta_criterion",
     "swirling_strength",

@@ -37,6 +37,22 @@ def _split(G):
     return S, W
 
 
+def symmetric_criterion(G: jnp.ndarray) -> jnp.ndarray:
+    """Pointwise strain magnitude |S|, S = (G + G^T)/2 — the reference's
+    'symmetric' vortex output (``compute_symmetricVec``,
+    core/postproc.f90:106-125, kernel :327-344)."""
+    S, _ = _split(G)
+    return jnp.sqrt(jnp.sum(S * S, axis=(-1, -2)))
+
+
+def antisymmetric_criterion(G: jnp.ndarray) -> jnp.ndarray:
+    """Pointwise rotation magnitude |Omega|, Omega = (G - G^T)/2 — the
+    reference's 'antisym' output (``compute_antisymmetricVec``,
+    core/postproc.f90:127-144, kernel :307-325)."""
+    _, W = _split(G)
+    return jnp.sqrt(jnp.sum(W * W, axis=(-1, -2)))
+
+
 def q_criterion(G: jnp.ndarray) -> jnp.ndarray:
     """Q = (|Omega|^2 - |S|^2) / 2; Q > 0 marks vortex cores."""
     S, W = _split(G)

@@ -184,3 +184,24 @@ def test_steady_force_sensitivity_solves_system(box):
     res = x - op.rmatvec(x) - b
     rel = float(jnp.linalg.norm(res) / jnp.linalg.norm(b))
     assert rel < 1e-7, rel
+
+
+def test_symmetric_antisymmetric_criteria():
+    """Solid-body rotation: |S| = 0, |Omega| = om*sqrt(2) (reference
+    'symmetric'/'antisym' vortex outputs, postproc.f90:106-144)."""
+    from nekstab_next_tpu.postproc import (
+        antisymmetric_criterion,
+        symmetric_criterion,
+    )
+
+    om = 0.7
+    G = jnp.zeros((4, 3, 3, 2, 2))
+    G = G.at[..., 0, 1].set(-om).at[..., 1, 0].set(om)
+    assert float(jnp.max(jnp.abs(symmetric_criterion(G)))) < 1e-14
+    expect = om * np.sqrt(2.0)
+    assert float(jnp.max(jnp.abs(antisymmetric_criterion(G) - expect))) < 1e-12
+    # pure shear G = [[0, g], [0, 0]]: |S| = |Omega| = g/sqrt(2)
+    g = 1.3
+    G2 = jnp.zeros((1, 2, 2, 2, 2)).at[..., 0, 1].set(g)
+    assert abs(float(symmetric_criterion(G2)[0, 0, 0]) - g / np.sqrt(2)) < 1e-12
+    assert abs(float(antisymmetric_criterion(G2)[0, 0, 0]) - g / np.sqrt(2)) < 1e-12
