@@ -112,6 +112,7 @@ def harmonic_resolvent_analysis(
     f_im: Optional[jnp.ndarray] = None,
     base_p: Optional[jnp.ndarray] = None,
     floquet: bool = False,
+    base_period: Optional[float] = None,
     n_precond_modes: int = 2,
     eig_k_dim: int = 30,
     eig_tol: float = 1e-6,
@@ -133,11 +134,22 @@ def harmonic_resolvent_analysis(
     if f_im is None:
         f_im = jnp.zeros_like(f_re)
 
-    op = ResolventOperator(
-        ns, base_u, omega, base_p=base_p,
-        steps_per_period=steps_per_period,
-        gmres_kdim=gmres_k_dim, gmres_tol=gmres_tol,
-    )
+    if floquet:
+        # forced integration linearized ALONG the periodic orbit (not just
+        # the preconditioner eigensolves) — resolvent.FloquetResolventOperator
+        from .resolvent import FloquetResolventOperator
+
+        op = FloquetResolventOperator(
+            ns, base_u, omega, base_p=base_p, base_period=base_period,
+            steps_per_period=steps_per_period,
+            gmres_kdim=gmres_k_dim, gmres_tol=gmres_tol,
+        )
+    else:
+        op = ResolventOperator(
+            ns, base_u, omega, base_p=base_p,
+            steps_per_period=steps_per_period,
+            gmres_kdim=gmres_k_dim, gmres_tol=gmres_tol,
+        )
     nsteps = op.nsteps
 
     # leading direct/adjoint modes of the SAME discrete propagator
