@@ -143,9 +143,17 @@ def newton_krylov(
             return NewtonResult(q, stf.p, T if (upo or forced) else None,
                                 res, True, it, nmv_total, history)
 
-        # dynamic GMRES tolerance (reference spec_tole: tol = res/100,
-        # floored at the user tolerance, capped at 1e-4)
-        gtol = min(max(res / 100.0, cfg.tol), 1e-4) if cfg.dynamic_tol else cfg.tol
+        # dynamic inner tolerance.  gmres() treats tol as RELATIVE to ||F||,
+        # so the forcing term is Eisenstat-Walker-style: loose solves while
+        # the residual is large (eta ~ 0.1 sqrt(res)), tightened near
+        # convergence just enough that one more Newton step reaches cfg.tol.
+        # (The reference's spec_tole instead schedules the inner *PDE solver*
+        # tolerances, newton_krylov.f90:408-435 — our elliptic tolerances
+        # stay fixed and the Krylov solve carries the scheduling.)
+        if cfg.dynamic_tol:
+            gtol = float(np.clip(0.1 * np.sqrt(res), 1e-6, 0.1))
+        else:
+            gtol = cfg.tol
 
         if upo:
             # bordered system: J (dq, dT) = (-F, 0)

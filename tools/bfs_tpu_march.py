@@ -1,0 +1,91 @@
+"""March the BFS base flow on the TPU chip in f32, then hand the state to
+the f64 CPU campaign (examples/bfs_transient_growth.py) for Newton polish.
+
+The 2-D Re=500 BFS is linearly stable, so plain DNS converges to the steady
+state; the chip does the long march ~10x faster than the 2-core CPU and the
+f32 floor (one-step residual ~1e-5) is well inside Newton's quadratic basin.
+
+Usage: python tools/bfs_tpu_march.py [--preset quick] [--steps 60000]
+       (writes <outdir>/bfs_march.npz)
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+import jax.numpy as jnp
+import numpy as np
+
+from examples.bfs_transient_growth import PRESETS
+from nekstab_next_tpu.cases.bfs import BackwardFacingStepCase
+from nekstab_next_tpu.config import SolverConfig
+from nekstab_next_tpu.io import save_field
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="quick", choices=sorted(PRESETS))
+    ap.add_argument("--steps", type=int, default=60000)
+    ap.add_argument("--chunk", type=int, default=2000)
+    ap.add_argument("--tol", type=float, default=2e-5)
+    ap.add_argument("--outdir", default="bfs_out")
+    args = ap.parse_args()
+    P = PRESETS[args.preset]
+
+    solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
+                          pressure_maxiter=60, velocity_maxiter=30)
+    case = BackwardFacingStepCase(
+        reynolds=500.0, order=P["order"], elems_upstream=P["eu"],
+        elems_downstream=P["ed"], elems_y=P["ey"],
+        outflow_length=P["outflow"], solver=solver,
+    )
+    # f32 stepper on the chip
+    from nekstab_next_tpu.ops.core import SEM
+    from nekstab_next_tpu.stepper.navier_stokes import NavierStokes
+
+    sem = SEM(case.mesh, dtype=jnp.float32)
+    ns = NavierStokes(sem, viscosity=1.0 / 500.0, dt=case.dt,
+                      u_bc=case.u_bc.astype(jnp.float32), solver=solver)
+    print(f"[march] nelem={case.mesh.nelem} order={P['order']} "
+          f"dt={case.dt:.4f} dtype=f32", flush=True)
+
+    def chunk_fn(st):
+        st1 = ns.advance(st, args.chunk - 1)
+        st2 = ns.step(st1)
+        du = st2.u - st1.u
+        res = jnp.sqrt(sum(sem.inner(du[..., d], du[..., d], masked=False)
+                           for d in range(2)))
+        return st2, res
+
+    run = jax.jit(chunk_fn)
+    st = ns.make_state(case.initial_flow().astype(jnp.float32))
+    t0 = time.time()
+    steps = 0
+    while steps < args.steps:
+        st, r = run(st)
+        steps += args.chunk
+        res = float(r)
+        print(f"[march] step {steps}  res={res:.3e}  ({time.time()-t0:.0f}s)",
+              flush=True)
+        if not np.isfinite(res):
+            raise SystemExit("f32 march diverged")
+        if res < args.tol:
+            break
+    os.makedirs(args.outdir, exist_ok=True)
+    out = os.path.join(args.outdir, "bfs_march.npz")
+    save_field(out, np.asarray(st.u, dtype=np.float64),
+               p=np.asarray(st.p, dtype=np.float64), time=float(st.time))
+    print(f"[march] saved {out} (res {res:.3e}, {steps} steps, "
+          f"{time.time()-t0:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
