@@ -49,12 +49,14 @@ def arnoldi_step(
     (host-side numpy, mirroring the reference's replicated Hessenberg —
     SURVEY.md section 2.3 item 2).  Returns the residual norm H[j+1, j]."""
     w = matvec(basis.get(j))
-    w, h = orthogonalize(space, basis, w, ncols=j + 1)
-    beta = float(space.norm(w))
+    # fused orthogonalize + normalize + column insert: one device launch
+    # (Basis.ortho_insert); the garbage column written on breakdown
+    # (beta ~ 0) is never read — callers stop at breakdown_tol
+    h, beta = basis.ortho_insert(w, j)
+    beta = float(beta)
     H[: basis.capacity, j] = np.asarray(h)
     H[j + 1, j] = beta
-    if beta > breakdown_tol:
-        basis.set(j + 1, space.scale(1.0 / beta, w))
+    del breakdown_tol
     return beta
 
 
