@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--reynolds", type=float, default=60.0)
     ap.add_argument("--outdir", default="cylinder_out")
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--modes", default="direct,adjoint",
+                    help="comma list: direct[,adjoint]; adjoint enables the "
+                         "wavemaker/sensitivity stage")
     args = ap.parse_args()
     P = PRESETS[args.preset]
     os.makedirs(args.outdir, exist_ok=True)
@@ -108,7 +111,8 @@ def main():
     out = {"reynolds": args.reynolds, "preset": args.preset,
            "nelem": case.mesh.nelem, "cd": cd,
            "newton_residual": result.residual}
-    for mode in ("direct", "adjoint"):
+    modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
+    for mode in modes:
         res = linear_stability_analysis(
             ns, base, horizon=P["horizon"], nsteps=nsteps, mode=mode,
             k_dim=P["k_dim"], nev=2, tol=args.tol, nmodes_out=2,
@@ -137,6 +141,13 @@ def main():
         out[f"{mode}_modes"] = res.modes
 
     # ---- 4. wavemaker + base-flow sensitivity ---------------------------
+    if "adjoint" not in modes:
+        out.pop("direct_modes", None)
+        with open(os.path.join(args.outdir, "summary.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"[cyl] done (direct-only) in {time.time()-t0:.0f}s -> "
+              f"{args.outdir}/summary.json", flush=True)
+        return
     d_re, d_im = out["direct_modes"][0]
     a_re, a_im = out["adjoint_modes"][0]
     wm = wave_maker(case.sem, d_re, d_im, a_re, a_im)
