@@ -32,11 +32,10 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
-from nekstab_next_tpu.algorithms import newton_krylov, transient_growth_analysis
+from nekstab_next_tpu.algorithms import transient_growth_analysis
 from nekstab_next_tpu.algorithms.fixed_point import boostconv_dns
 from nekstab_next_tpu.campaign import Campaign, Stage, artifact_exists
 from nekstab_next_tpu.cases.bfs import BackwardFacingStepCase
-from nekstab_next_tpu.config import NewtonConfig
 from nekstab_next_tpu.io import load_field, save_field
 
 BARKLEY_REF = "/root/reference/examples/back_fstep/barkley2008_fig5.ref"
@@ -73,17 +72,16 @@ def main():
     def run_baseflow(wd):
         # The Re=500 2-D BFS is linearly stable (its interest is transient
         # growth: Barkley et al. 2008 — the 2-D flow stays stable to
-        # Re ~ 3000), so the steady state is reached by a plain DNS march
-        # followed by a Newton polish.  Preferred path: the long march runs
-        # in f32 on the TPU chip (tools/bfs_tpu_march.py writes
-        # bfs_march.npz); fall back to a BoostConv-accelerated CPU march
-        # (reference uparam 1.2, core/fixedp.f90:218-329).  The final
-        # Newton solve uses one large-k GMRES cycle — *restarted* GMRES
-        # stagnates on this extremely non-normal Jacobian (G ~ 1e4).
+        # Re ~ 3000), so the steady state is reached by plain DNS marching.
+        # Preferred path: the long march runs in f32 on the TPU chip
+        # (tools/bfs_tpu_march.py writes bfs_march.npz, ~10x the 2-core
+        # CPU), then an f64 continuation below.  Fallback: a
+        # BoostConv-accelerated CPU march (reference uparam 1.2,
+        # core/fixedp.f90:218-329).
         march = os.path.join(wd, "bfs_march.npz")
         if os.path.exists(march):
             u0 = jnp.asarray(load_field(march).u)
-            print(f"[bfs] seeding Newton from TPU march {march}", flush=True)
+            print(f"[bfs] continuing from TPU march {march}", flush=True)
         else:
             last = [0.0]
 
@@ -101,21 +99,35 @@ def main():
             print(f"[bfs] boostconv reached res={r.residual:.2e} "
                   f"({r.iterations} steps, {time.time()-t0:.0f}s)", flush=True)
 
-        def ncb(it, res, T):
-            print(f"[bfs] newton iter {it}  res={res:.3e}  "
+        # Finish with an f64 DNS continuation: the flow is linearly stable,
+        # so the march converges unconditionally — unlike Newton, whose
+        # GMRES stagnates on this Jacobian (transient growth G ~ 1e4 makes
+        # J = M - I pathologically non-normal; even one 120-dim cycle
+        # returns steps that *raise* the residual).  The per-step residual
+        # ||u(t)-u(t-dt)|| <= 2e-6 puts the steady-state defect |du/dt|
+        # at ~1.5e-4, two orders below the G(t) accuracy this comparison
+        # targets (~10% at quick resolution).
+        chunk = 2000
+        run = jax.jit(lambda s: ns.advance(s, chunk - 1))
+        one = jax.jit(ns.step)
+        st = ns.make_state(u0)
+        res = np.inf
+        for it in range(60):
+            st1 = run(st)
+            st = one(st1)
+            du = st.u - st1.u
+            res = float(jnp.sqrt(sum(
+                case.sem.inner(du[..., d], du[..., d], masked=False)
+                for d in range(2))))
+            print(f"[bfs] f64 march step {(it+1)*chunk}  res={res:.3e}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
-
-        horizon = 0.75
-        nsteps = max(int(round(horizon / case.dt)), 1)
-        res = newton_krylov(ns, u0, horizon=horizon, nsteps=nsteps,
-                            cfg=NewtonConfig(tol=1e-9, max_iter=12,
-                                             gmres_restarts=2),
-                            k_dim=120, callback=ncb)
-        assert res.converged, res.history[-3:]
-        save_field(os.path.join(wd, bf_path), res.u, p=res.p, time=0.0)
-        print(f"[bfs] base flow converged res={res.residual:.2e} "
+            if res < 2e-6:
+                break
+        assert res < 2e-6, f"f64 march stalled at {res:.3e}"
+        save_field(os.path.join(wd, bf_path), st.u, p=st.p, time=0.0)
+        print(f"[bfs] base flow converged res={res:.2e} "
               f"({time.time()-t0:.0f}s)", flush=True)
-        return {"residual": res.residual}
+        return {"residual": res}
 
     def run_growth(wd):
         base = jnp.asarray(load_field(os.path.join(wd, bf_path)).u)
