@@ -41,11 +41,36 @@ from nekstab_next_tpu.io import load_field, save_field
 BARKLEY_REF = "/root/reference/examples/back_fstep/barkley2008_fig5.ref"
 
 PRESETS = {
+    # legacy coarse layout (uniform x) — demonstrably too coarse at the
+    # step corner (G low by ~58%); kept for smoke runs only
     "quick": dict(order=5, eu=6, ed=24, ey=6, outflow=35.0, k_dim=24,
                   horizons=(1.723, 5.901)),
-    "full": dict(order=6, eu=8, ed=40, ey=8, outflow=50.0, k_dim=48,
-                 horizons=(1.723, 3.853, 5.901, 9.795, 15.9)),
+    # reference-fixture-like: geometric grading into the step corner
+    # (reference bfs.re2: first downstream cell 0.1, 20 y-elements) and the
+    # reference sponge/energy-mask setup (bfs.par userparam08-10)
+    "barkley": dict(order=5, eu=8, ed=28, ey=10, outflow=50.0, k_dim=24,
+                    horizons=(1.723, 3.853, 5.901, 9.795),
+                    step_dx=0.22, sponge=True),
+    "full": dict(order=6, eu=10, ed=40, ey=14, outflow=50.0, k_dim=48,
+                 horizons=(1.723, 3.853, 5.901, 9.795, 15.9),
+                 step_dx=0.1, sponge=True),
 }
+
+
+def build_case(P, dtype=None, solver=None, sponge=None):
+    """Shared case construction for the CPU campaign and the TPU tools."""
+    kw = dict(
+        reynolds=500.0, order=P["order"], elems_upstream=P["eu"],
+        elems_downstream=P["ed"], elems_y=P["ey"],
+        outflow_length=P["outflow"],
+        step_dx=P.get("step_dx"),
+        sponge=P.get("sponge", False) if sponge is None else sponge,
+    )
+    if solver is not None:
+        kw["solver"] = solver
+    if dtype is not None:
+        kw["dtype"] = dtype
+    return BackwardFacingStepCase(**kw)
 
 
 def main():

@@ -107,6 +107,18 @@ class SolverConfig:
     # carried dp) — Nek residualProj analog.  NOTE: tolerances then apply to
     # the *correction* solve, i.e. the absolute step accuracy improves at
     # equal tol; loosen tol to trade that margin back into speed.
+    pressure_direct: bool = False  # precondition the PnPn-2 pressure solve
+    # with a dense exact inverse of E (lanes path only; ops/lanes.py
+    # direct_pressure_inv) — CG converges in 1-2 iterations.  For small
+    # fixtures (<~25k pressure dofs) on meshes where the two-level FDM+Q1
+    # preconditioner degrades (graded/stretched elements, e.g. the BFS
+    # fixture).  Build cost: N operator applies + one host inversion.
+    lanes_layout: bool = False  # run the elliptic CG iterations in the TPU
+    # lanes layout (n^2, nelem) — the element axis fills the 128-lane vector
+    # dimension instead of padding (n, n) tiles ~20x (ops/lanes.py).  Exactly
+    # the same operators up to an orthogonal permutation; off by default so
+    # sharded-vs-single bitwise tests compare identical iteration paths
+    # (2-D single-device only; silently ignored elsewhere).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,6 +20,15 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+# lanes-path CG solves with maxiter at or below this cap run fully inlined
+# (zero While trips); above it, `unroll` iterations per trip.  Default 0:
+# fully-inlined solves measured bit-identical to the While form at single-
+# solve level but drift to ~7e-2 inside the 50-step tangent matvec (round-3
+# probes, cause unresolved — suspected XLA optimization across the huge
+# unrolled step body); the 4-per-trip While form keeps matvec accuracy at
+# the f32 floor (6.5e-5) at ~85% of the fully-inlined speed.
+LANES_UNROLL_CAP = 0
+
 
 def pcg(
     operator: Callable,
@@ -30,12 +39,19 @@ def pcg(
     dot: Optional[Callable] = None,
     x0=None,
     return_iters: bool = False,
+    unroll: int = 1,
 ):
     """Preconditioned CG on an SPD operator over an arbitrary pytree.
 
     ``dot`` must be the *global* inner product (psum under SPMD).  Returns the
     solution pytree (or ``(x, niter)`` when ``return_iters``).  Fixed-shape
     ``lax.while_loop`` with early exit on ||r|| <= tol * ||b||.
+
+    ``unroll > 1`` runs that many CG iterations per while-loop trip and
+    checks the exit test once per trip — each trip of an XLA While carries a
+    fixed dispatch cost (measured ~0.3 ms on the remote-TPU backend, larger
+    than the entire iteration body at fixture scale), so amortizing it
+    matters more than the <= unroll-1 extra iterations past tolerance.
     """
     if precond is None:
         precond = lambda r: r
@@ -62,7 +78,7 @@ def pcg(
         _, r, _, _, k = carry
         return jnp.logical_and(k < maxiter, dot(r, r) > atol2)
 
-    def body(carry):
+    def one(carry):
         x, r, p, rz, k = carry
         Ap = operator(p)
         alpha = rz / dot(p, Ap)
@@ -73,6 +89,37 @@ def pcg(
         beta = rz_new / rz
         p = add(z, p, beta)
         return (x, r, p, rz_new, k + 1)
+
+    if unroll >= maxiter:
+        # fully inline: zero While trips.  The early-exit test becomes a
+        # per-iteration freeze mask — essential, not just an optimization:
+        # letting CG run past its (f32) attainable accuracy turns beta into
+        # amplified rounding noise and the iterate drifts away (measured
+        # 7e-2 on the 50-step tangent matvec without the mask).
+        sdiv = lambda a, d: jnp.where(d > 0, a / jnp.where(d > 0, d, 1.0), 0.0)
+        k = jnp.array(0)
+        for _ in range(maxiter):
+            live = dot(r, r) > atol2
+            Ap = operator(p)
+            alpha = jnp.where(live, sdiv(rz, dot(p, Ap)), 0.0)
+            x = add(x, p, alpha)
+            r = add(r, Ap, -alpha)
+            z = precond(r)
+            rz_new = dot(r, z)
+            beta = jnp.where(live, sdiv(rz_new, rz), 0.0)
+            p = jax.tree.map(
+                lambda zz, pp: jnp.where(live, zz + beta * pp, pp), z, p
+            )
+            rz = jnp.where(live, rz_new, rz)
+            k = k + live.astype(k.dtype)
+        if return_iters:
+            return x, k
+        return x
+
+    def body(carry):
+        for _ in range(unroll):
+            carry = one(carry)
+        return carry
 
     x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
     if return_iters:
@@ -89,6 +136,7 @@ def cg_solve(
     dot: Optional[Callable] = None,
     project: Optional[Callable] = None,
     inner_op: Optional[Callable] = None,
+    lanes: Optional[tuple] = None,
 ):
     """Solve the SPD system A x = b via ``lax.custom_linear_solve``.
 
@@ -106,25 +154,45 @@ def cg_solve(
     per-iteration cost on TPU) from every iteration.  ``operator`` remains
     what JAX differentiates/transposes (the correctness anchor); the solve
     handles arbitrary RHS (tangent and cotangent solves included) by
-    splitting it across the subspace first."""
+    splitting it across the subspace first.
+
+    ``lanes`` (optional) is ``(to_l, from_l, A_l, M_l, dot_l, project_l)``
+    from ops/lanes.py: run the CG iteration in the TPU lanes layout —
+    ``to_l``/``from_l`` are mutually inverse orthogonal layout permutations
+    and ``A_l``/``M_l``/``project_l`` the exactly-permuted operator,
+    preconditioner, and nullspace projector.  Composes with ``inner_op``
+    (the subspace split happens in standard layout, the iteration in lanes).
+    ``operator`` stays the differentiation anchor."""
+
+    def _iterate(A_it, rhs, M_it, dot_it, proj_it):
+        """The actual CG iteration, in lanes layout when available."""
+        if lanes is not None:
+            to_l, from_l, A_l, M_l, dot_l, project_l = lanes
+            r = to_l(rhs)
+            if project_l is not None:
+                r = project_l(r)
+            # full unroll for tightly-capped (production-f32) solves: every
+            # While trip costs ~0.3 ms of dispatch on the remote-TPU backend
+            unroll = maxiter if maxiter <= LANES_UNROLL_CAP else 4
+            x = pcg(A_l, r, precond=M_l, tol=tol, maxiter=maxiter, dot=dot_l,
+                    unroll=unroll)
+            if project_l is not None:
+                x = project_l(x)
+            return from_l(x)
+        if proj_it is not None:
+            rhs = proj_it(rhs)
+        x = pcg(A_it, rhs, precond=M_it, tol=tol, maxiter=maxiter, dot=dot_it)
+        if proj_it is not None:
+            x = proj_it(x)
+        return x
 
     def solve(mv, rhs):
         if inner_op is not None:
             A_sub, P, M_sub = inner_op
             rP = P(rhs)
             comp = jax.tree.map(jnp.subtract, rhs, rP)
-            if project is not None:
-                rP = project(rP)
-            x = pcg(A_sub, rP, precond=M_sub, tol=tol, maxiter=maxiter,
-                    dot=dot)
-            if project is not None:
-                x = project(x)
+            x = _iterate(A_sub, rP, M_sub, dot, project)
             return jax.tree.map(jnp.add, x, comp)
-        if project is not None:
-            rhs = project(rhs)
-        x = pcg(mv, rhs, precond=precond, tol=tol, maxiter=maxiter, dot=dot)
-        if project is not None:
-            x = project(x)
-        return x
+        return _iterate(mv, rhs, precond, dot, project)
 
     return jax.lax.custom_linear_solve(operator, b, solve, symmetric=True)

@@ -44,6 +44,7 @@ def elliptic_solve(
     project_mean: bool = False,
     fdm: Optional[tuple] = None,
     coarse: bool = False,
+    lanes: Optional[tuple] = None,
 ):
     """Solve the assembled system  (P local_op P) x = P rhs_local  by PCG
     under ``lax.custom_linear_solve`` (symmetric, hence exactly transposable).
@@ -56,6 +57,9 @@ def elliptic_solve(
     ``fdm``        : (h1, h2) Helmholtz coefficients — use the tensor-product
                      fast-diagonalization block preconditioner (ops/fdm.py)
                      instead of Jacobi (additive Schwarz wrapped in P)
+    ``lanes``      : optional lanes-layout bundle (ops/lanes.py
+                     ``velocity_bundle``) — the CG iteration runs in the
+                     TPU ``(n^2, ndim*nelem)`` layout (see cg_solve)
     """
     P = make_projector(sem, mask)
 
@@ -107,5 +111,5 @@ def elliptic_solve(
 
     return cg_solve(
         A, rhs, tol=tol, maxiter=maxiter, dot=dot, project=project,
-        inner_op=(A_sub, P, M_sub),
+        inner_op=(A_sub, P, M_sub), lanes=lanes,
     )

@@ -146,6 +146,19 @@ class NavierStokes:
         # the mixed path implements the GLL-grid approximate projection only
         self._scheme = "laplacian" if mixed_precision else solver.pressure_operator
 
+        # opt-in lanes-layout CG iterations (ops/lanes.py): 2-D single-device
+        # only — the sharded path's per-element arrays are shard_map tracers
+        self.lanes = None
+        if (solver.lanes_layout and sem.ndim == 2 and sem.axis_name is None
+                and self.mixed is None):
+            from ..ops.lanes import LanesOps
+
+            self.lanes = LanesOps(sem)
+            if solver.pressure_direct and self._scheme == "pnpn2":
+                # build eagerly: the dense-inverse construction runs real
+                # device computations, which must not happen mid-trace
+                self.lanes.direct_pressure_inv()
+
     # ------------------------------------------------------------------
     @property
     def p_shape(self):
@@ -353,6 +366,9 @@ class NavierStokes:
                 x0v = vmask * s.dsavg(vmask * (u0 - u_bc))
             else:
                 x0v = 0.0
+            lanes_v = None
+            if self.lanes is not None and self.solver.fdm_precond:
+                lanes_v = self.lanes.velocity_bundle(self.nu, h2)
             w = x0v + elliptic_solve(
                 s,
                 helm_local,
@@ -362,6 +378,7 @@ class NavierStokes:
                 maxiter=self.solver.velocity_maxiter,
                 diag_local=self.nu * self._kdiag_local + h2 * s.bm,
                 fdm=(self.nu, h2) if self.solver.fdm_precond else None,
+                lanes=lanes_v,
             )
         ustar = w + u_bc
 
@@ -401,6 +418,12 @@ class NavierStokes:
             if x0p is not None:
                 rhs_p = rhs_p - E_op(x0p)
 
+            lanes_p = None
+            if self.lanes is not None:
+                lanes_p = self.lanes.pressure_bundle(
+                    project_mean=not s.has_pressure_dirichlet,
+                    direct=self.solver.pressure_direct,
+                )
             dp = cg_solve(
                 E_op,
                 rhs_p,
@@ -409,6 +432,7 @@ class NavierStokes:
                 maxiter=self.solver.pressure_maxiter,
                 dot=lambda a, c: s._reduce(jnp.sum(a * c)),
                 project=project,
+                lanes=lanes_p,
             )
             if x0p is not None:
                 dp = dp + x0p

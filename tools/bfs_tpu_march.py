@@ -41,19 +41,16 @@ def main():
     P = PRESETS[args.preset]
 
     solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
-                          pressure_maxiter=60, velocity_maxiter=30)
-    case = BackwardFacingStepCase(
-        reynolds=500.0, order=P["order"], elems_upstream=P["eu"],
-        elems_downstream=P["ed"], elems_y=P["ey"],
-        outflow_length=P["outflow"], solver=solver,
-    )
-    # f32 stepper on the chip
-    from nekstab_next_tpu.ops.core import SEM
-    from nekstab_next_tpu.stepper.navier_stokes import NavierStokes
+                          pressure_maxiter=12, velocity_maxiter=24,
+                          lanes_layout=True, pressure_direct=True)
+    # f32 stepper on the chip; the base-flow march runs UNSPONGED (the
+    # steady state of pure NS) — the TG stepper then turns the sponge on
+    # with sponge_ref = this base flow, which keeps it an equilibrium
+    from examples.bfs_transient_growth import build_case
 
-    sem = SEM(case.mesh, dtype=jnp.float32)
-    ns = NavierStokes(sem, viscosity=1.0 / 500.0, dt=case.dt,
-                      u_bc=case.u_bc.astype(jnp.float32), solver=solver)
+    case = build_case(P, dtype=jnp.float32, solver=solver, sponge=False)
+    sem = case.sem
+    ns = case.make_ns()
     print(f"[march] nelem={case.mesh.nelem} order={P['order']} "
           f"dt={case.dt:.4f} dtype=f32", flush=True)
 
