@@ -82,17 +82,43 @@ def main():
     P = PRESETS[args.preset]
     horizons = tuple(args.horizons) if args.horizons else P["horizons"]
 
-    case = BackwardFacingStepCase(
-        reynolds=500.0, order=P["order"], elems_upstream=P["eu"],
-        elems_downstream=P["ed"], elems_y=P["ey"],
-        outflow_length=P["outflow"],
-    )
+    # build_case honors step_dx/sponge, so the campaign and the TPU tools
+    # (tools/bfs_tpu_march.py, tools/bfs_tpu_tg.py) construct IDENTICAL
+    # cases (round-3 bug: main() built the legacy uniform mesh inline, so
+    # the graded 'barkley' preset never actually ran).  The base-flow march
+    # runs unsponged (steady state of pure NS); the TG stage turns the
+    # sponge on with sponge_ref = base flow.
+    case = build_case(P, sponge=False)
     ns = case.make_ns()
     t0 = time.time()
     print(f"[bfs] nelem={case.mesh.nelem} order={P['order']} dt={case.dt:.4f}",
           flush=True)
 
     bf_path = "BF_bfs_00001.npz"
+
+    def mesh_fingerprint():
+        m = case.mesh
+        return dict(nelem=int(m.nelem), order=int(P["order"]),
+                    xhash=float(np.sum(np.asarray(m.x) ** 2)))
+
+    def baseflow_ok(wd):
+        """Quality-gated done check: artifact exists AND its stored residual
+        meets the gate AND it was computed on THIS preset's mesh (round-3
+        bug: an existence-only check banked a base flow from the wrong mesh
+        at residual 1.95e-6; the reference gates at 1e-10 on
+        residu_newton.dat, /root/reference/check_next.py:66-70)."""
+        p = os.path.join(wd, bf_path)
+        if not os.path.exists(p):
+            return False
+        f = load_field(p)
+        fp = mesh_fingerprint()
+        ok = (f.meta.get("residual", np.inf) < 2e-6
+              and f.meta.get("nelem") == fp["nelem"]
+              and abs(f.meta.get("xhash", -1.0) - fp["xhash"]) < 1e-6 * (1 + fp["xhash"]))
+        if not ok:
+            print(f"[bfs] stale/unconverged {bf_path} "
+                  f"(meta={f.meta}) — recomputing", flush=True)
+        return ok
 
     def run_baseflow(wd):
         # The Re=500 2-D BFS is linearly stable (its interest is transient
@@ -104,10 +130,23 @@ def main():
         # BoostConv-accelerated CPU march (reference uparam 1.2,
         # core/fixedp.f90:218-329).
         march = os.path.join(wd, "bfs_march.npz")
+        u0 = None
         if os.path.exists(march):
-            u0 = jnp.asarray(load_field(march).u)
-            print(f"[bfs] continuing from TPU march {march}", flush=True)
-        else:
+            mf = load_field(march)
+            fp = mesh_fingerprint()
+            same_mesh = (
+                mf.u.shape[0] == case.mesh.nelem
+                and mf.meta.get("nelem") == fp["nelem"]
+                and abs(mf.meta.get("xhash", -1.0) - fp["xhash"])
+                < 1e-6 * (1 + fp["xhash"])
+            )
+            if same_mesh:
+                u0 = jnp.asarray(mf.u)
+                print(f"[bfs] continuing from TPU march {march}", flush=True)
+            else:
+                print(f"[bfs] ignoring {march}: wrong mesh "
+                      f"(meta={mf.meta}, want {fp})", flush=True)
+        if u0 is None:
             last = [0.0]
 
             def cb(steps, res):
@@ -149,19 +188,29 @@ def main():
             if res < 2e-6:
                 break
         assert res < 2e-6, f"f64 march stalled at {res:.3e}"
-        save_field(os.path.join(wd, bf_path), st.u, p=st.p, time=0.0)
+        save_field(os.path.join(wd, bf_path), st.u, p=st.p, time=0.0,
+                   residual=res, **mesh_fingerprint())
         print(f"[bfs] base flow converged res={res:.2e} "
               f"({time.time()-t0:.0f}s)", flush=True)
         return {"residual": res}
 
     def run_growth(wd):
         base = jnp.asarray(load_field(os.path.join(wd, bf_path)).u)
+        # TG runs with the preset's sponge active (reference TG fixture
+        # bfs.par userparam08-10): same mesh, perturbations damped in the
+        # sponge zones and the energy norm (bm1s) zeroed there; the sponge
+        # damps toward the base flow so it remains an equilibrium.
+        if P.get("sponge"):
+            case_tg = build_case(P)
+            ns_tg = case_tg.make_ns(sponge_ref=base)
+        else:
+            ns_tg = ns
         ref = np.loadtxt(BARKLEY_REF) if os.path.exists(BARKLEY_REF) else None
         rows = []
         for T in horizons:
             nsteps = max(int(round(T / case.dt)), 1)
             res = transient_growth_analysis(
-                ns, base, horizon=T, nsteps=nsteps, nsv=1,
+                ns_tg, base, horizon=T, nsteps=nsteps, nsv=1,
                 k_dim=P["k_dim"], tol=1e-6,
             )
             G = float(res.gains[0])
@@ -176,7 +225,7 @@ def main():
         return {"points": rows}
 
     campaign = Campaign(args.outdir, [
-        Stage("baseflow", run_baseflow, done=artifact_exists(bf_path)),
+        Stage("baseflow", run_baseflow, done=baseflow_ok),
         Stage("transient_growth", run_growth,
               done=artifact_exists("growth.json")),
     ])

@@ -74,54 +74,50 @@ def pcg(
     rz = dot(r, z)
     p = z
 
-    def cond(carry):
-        _, r, _, _, k = carry
-        return jnp.logical_and(k < maxiter, dot(r, r) > atol2)
+    # One live-masked CG iteration.  The freeze mask is essential, not just
+    # an optimization: letting CG iterate past its (f32) attainable accuracy
+    # turns beta into amplified rounding noise and the iterate drifts away
+    # (measured 7e-2 on the 50-step tangent matvec without the mask).  The
+    # mask also enforces the maxiter contract exactly under unroll > 1 (the
+    # While cond only tests once per trip).
+    sdiv = lambda a, d: jnp.where(d > 0, a / jnp.where(d > 0, d, 1.0), 0.0)
 
-    def one(carry):
+    def one_masked(carry):
         x, r, p, rz, k = carry
+        live = jnp.logical_and(k < maxiter, dot(r, r) > atol2)
         Ap = operator(p)
-        alpha = rz / dot(p, Ap)
+        alpha = jnp.where(live, sdiv(rz, dot(p, Ap)), 0.0)
         x = add(x, p, alpha)
         r = add(r, Ap, -alpha)
         z = precond(r)
         rz_new = dot(r, z)
-        beta = rz_new / rz
-        p = add(z, p, beta)
-        return (x, r, p, rz_new, k + 1)
+        beta = jnp.where(live, sdiv(rz_new, rz), 0.0)
+        p = jax.tree.map(
+            lambda zz, pp: jnp.where(live, zz + beta * pp, pp), z, p
+        )
+        rz = jnp.where(live, rz_new, rz)
+        return (x, r, p, rz, k + live.astype(k.dtype))
 
+    carry = (x, r, p, rz, jnp.array(0))
     if unroll >= maxiter:
-        # fully inline: zero While trips.  The early-exit test becomes a
-        # per-iteration freeze mask — essential, not just an optimization:
-        # letting CG run past its (f32) attainable accuracy turns beta into
-        # amplified rounding noise and the iterate drifts away (measured
-        # 7e-2 on the 50-step tangent matvec without the mask).
-        sdiv = lambda a, d: jnp.where(d > 0, a / jnp.where(d > 0, d, 1.0), 0.0)
-        k = jnp.array(0)
+        # fully inline: zero While trips
         for _ in range(maxiter):
-            live = dot(r, r) > atol2
-            Ap = operator(p)
-            alpha = jnp.where(live, sdiv(rz, dot(p, Ap)), 0.0)
-            x = add(x, p, alpha)
-            r = add(r, Ap, -alpha)
-            z = precond(r)
-            rz_new = dot(r, z)
-            beta = jnp.where(live, sdiv(rz_new, rz), 0.0)
-            p = jax.tree.map(
-                lambda zz, pp: jnp.where(live, zz + beta * pp, pp), z, p
-            )
-            rz = jnp.where(live, rz_new, rz)
-            k = k + live.astype(k.dtype)
+            carry = one_masked(carry)
+        x, _, _, _, k = carry
         if return_iters:
             return x, k
         return x
 
+    def cond(carry):
+        _, r, _, _, k = carry
+        return jnp.logical_and(k < maxiter, dot(r, r) > atol2)
+
     def body(carry):
         for _ in range(unroll):
-            carry = one(carry)
+            carry = one_masked(carry)
         return carry
 
-    x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    x, r, p, rz, k = jax.lax.while_loop(cond, body, carry)
     if return_iters:
         return x, k
     return x
@@ -168,6 +164,14 @@ def cg_solve(
         """The actual CG iteration, in lanes layout when available."""
         if lanes is not None:
             to_l, from_l, A_l, M_l, dot_l, project_l = lanes
+            # the lanes branch replaces proj_it with the bundle's own
+            # project_l — a bundle without one must not silently drop a
+            # requested nullspace projection (CG would stall or drift
+            # along the nullspace)
+            assert project_l is not None or proj_it is None, (
+                "lanes bundle carries no project_l but a nullspace "
+                "projection was requested"
+            )
             r = to_l(rhs)
             if project_l is not None:
                 r = project_l(r)

@@ -385,6 +385,14 @@ class LanesOps:
         if getattr(self, "_einv", None) is not None:
             return self._einv
         N = self.npr2 * self.nelem
+        if N > 30_000:
+            # dense (N, N) inverse: ~3.6 GB host + device at the cap; a
+            # larger mesh would silently attempt a multi-GB build
+            raise ValueError(
+                f"direct_pressure_inv: {N} pressure dofs exceeds the "
+                "~30k dense-inverse cap; use the two-level/Schwarz "
+                "preconditioner (pressure_direct=False)"
+            )
         bundle_in = jax.ShapeDtypeStruct(
             (self.n2, self.ndim * self.nelem), self.sem.dtype
         )
@@ -395,11 +403,12 @@ class LanesOps:
 
         apply_block = jax.jit(jax.vmap(E_op))
         cols = []
-        eye = np.eye(N, dtype=np.float32)
         for i0 in range(0, N, chunk):
+            nb = min(chunk, N - i0)
+            blk = np.zeros((nb, N), dtype=np.float32)
+            blk[np.arange(nb), i0 + np.arange(nb)] = 1.0
             blk = jnp.asarray(
-                eye[i0:i0 + chunk].reshape(-1, self.npr2, self.nelem),
-                self.sem.dtype,
+                blk.reshape(-1, self.npr2, self.nelem), self.sem.dtype
             )
             cols.append(np.asarray(apply_block(blk)).reshape(-1, N))
         Em = np.concatenate(cols, 0).T.astype(np.float64)

@@ -72,14 +72,20 @@ def main():
         res = float(r)
         print(f"[march] step {steps}  res={res:.3e}  ({time.time()-t0:.0f}s)",
               flush=True)
-        if not np.isfinite(res):
-            raise SystemExit("f32 march diverged")
+        # divergence abort: a healthy march has res ~ O(1e-3) after the
+        # initial transient; round-3 bug — the graded-mesh march sat at
+        # res ~ 1e6 for 78k steps (254 s of garbage) with no abort
+        if not np.isfinite(res) or res > 1e3:
+            raise SystemExit(f"f32 march diverged (res={res:.3e})")
         if res < args.tol:
             break
     os.makedirs(args.outdir, exist_ok=True)
     out = os.path.join(args.outdir, "bfs_march.npz")
+    m = case.mesh
     save_field(out, np.asarray(st.u, dtype=np.float64),
-               p=np.asarray(st.p, dtype=np.float64), time=float(st.time))
+               p=np.asarray(st.p, dtype=np.float64), time=float(st.time),
+               residual=res, nelem=int(m.nelem), order=int(P["order"]),
+               xhash=float(np.sum(np.asarray(m.x) ** 2)))
     print(f"[march] saved {out} (res {res:.3e}, {steps} steps, "
           f"{time.time()-t0:.0f}s)", flush=True)
 
