@@ -49,12 +49,16 @@ NSTEPS = 50
 REPS = 3
 BUDGET = float(os.environ.get("NEKSTAB_BENCH_BUDGET", "420"))
 
-# ladder: (label, nr, ntheta, mixed). Small rung banks a number fast; the
-# flagship rungs are the reference-fixture scale (~75k dof).
+# ladder: (label, nr, ntheta, mixed). FLAGSHIP FIRST: the driver's capture
+# ran out of budget on the small rung's fresh compile for three rounds and
+# banked the sub-scale number (round-3 VERDICT Weak #4) — the flagship rung
+# is the one that matches the reference fixture scale and compiles in
+# seconds from the committed .jax_cache.  The small rung is kept as a
+# latency reference, last.
 CONFIGS = [
-    ("small-f32", 8, 24, False),
     ("flagship-f32", 16, 48, False),
     ("flagship-mixed", 16, 48, True),
+    ("small-f32", 8, 24, False),
 ]
 
 _T0 = time.perf_counter()

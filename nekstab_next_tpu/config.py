@@ -107,6 +107,27 @@ class SolverConfig:
     # carried dp) — Nek residualProj analog.  NOTE: tolerances then apply to
     # the *correction* solve, i.e. the absolute step accuracy improves at
     # equal tol; loosen tol to trade that margin back into speed.
+    pressure_precond: str = "fdm"  # preconditioner for the PnPn-2 pressure
+    # solve (ops/schwarz.py; measured iteration counts to 1e-5, round 4 —
+    # quick-BFS / graded-Barkley-BFS / cylinder-O-mesh):
+    # 'fdm'     — two-level box-FDM + Q1 coarse (232 / 1779 / 86): adequate
+    #   on mild meshes, collapses on graded/stretched elements (the
+    #   axis-aligned-box assumption breaks);
+    # 'block'   — EXACT element-diagonal blocks of E + Q1 coarse
+    #   (68 / 309 / 41): mesh-robust local solves, extraction via
+    #   graph-colored operator applies;
+    # 'schwarz' — overlapping element+face-neighbor patch solves (exact
+    #   restrictions of E) + P0 element-constant coarse + Q1 vertex coarse
+    #   (20 / 53 / 19): the TPU-native equivalent of Nek5000's overlapping
+    #   Schwarz + XXT hierarchy (SURVEY.md section 2.2); setup = one
+    #   colored sparse-E extraction + host patch inversion per mesh.
+    # The sharded (multi-chip) path supports 'fdm' and 'block' (element-
+    # local applies); 'schwarz' patches gather across element boundaries
+    # and currently fall back to 'block' under shard_map.
+    pressure_patch_overlap: str = "face"  # 'schwarz' patch extent: 'face'
+    # (element + face neighbors) or 'node' (+ vertex-diagonal neighbors —
+    # ~2x patch cost, a few fewer iterations on strongly graded meshes:
+    # 53 -> 49 on the Barkley BFS mesh)
     pressure_direct: bool = False  # precondition the PnPn-2 pressure solve
     # with a dense exact inverse of E (lanes path only; ops/lanes.py
     # direct_pressure_inv) — CG converges in 1-2 iterations.  For small

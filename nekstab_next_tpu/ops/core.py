@@ -162,6 +162,12 @@ class SEM:
         self.num_shards = 1
         # light metadata used device-side (so a shard view needs no Mesh2D)
         self.has_pressure_dirichlet = mesh.has_pressure_dirichlet
+        # exact element-block / overlapping-Schwarz pressure preconditioners
+        # (ops/schwarz.py); built on demand by setup_pressure_blocks() /
+        # setup_pressure_schwarz()
+        self.pblock_inv = None
+        self.pschwarz = None
+        self.p0Acinv = None
 
     # ------------------------------------------------------------------
     # sharding support
@@ -179,6 +185,8 @@ class SEM:
         axis).  ``gid`` is reshaped to (nelem, n, n) for sharding."""
         d = {k: getattr(self, k) for k in self._ELEM_FIELDS}
         d["gid"] = self.gid.reshape(self.nelem, self.n, self.n)
+        if self.pblock_inv is not None:
+            d["pblock_inv"] = self.pblock_inv
         return d
 
     def shard_view(self, elem_arrays: dict, axis_name: str) -> "SEM":
@@ -193,6 +201,7 @@ class SEM:
         v.gid = elem_arrays["gid"].reshape(-1)
         v.nelem = elem_arrays["gid"].shape[0]
         v.axis_name = axis_name
+        v.pblock_inv = elem_arrays.get("pblock_inv")
         return v
 
     # ------------------------------------------------------------------
@@ -352,6 +361,63 @@ class SEM:
         rg = jnp.einsum("ai,bj,eab->eij", self.Jp, self.Jp, r)  # R^T r
         z = self.fdm_apply(rg, 1.0, 0.0) + self.coarse_apply_pressure(rg)
         return jnp.einsum("ai,bj,eij->eab", self.Jp, self.Jp, z)  # R z
+
+    def setup_pressure_blocks(self) -> None:
+        """Build the exact element-block pressure preconditioner
+        (ops/schwarz.py) — runs real device computations, so call it
+        eagerly, never mid-trace."""
+        if self.pblock_inv is None:
+            from .schwarz import build_pressure_blocks
+
+            self.pblock_inv = build_pressure_blocks(self)
+
+    def setup_pressure_schwarz(self, adjacency: str = "face") -> None:
+        """Build the overlapping patch + P0 coarse pressure preconditioner
+        (ops/schwarz.py) — one sparse-E extraction shared by both levels.
+        Runs real device computations; call eagerly, never mid-trace.
+
+        ``adjacency``: 'face' (default — element + face neighbors) or
+        'node' (+ vertex-diagonal neighbors: ~2x patch cost, a few fewer
+        iterations on strongly graded meshes — measured 53 -> 49 on the
+        Barkley BFS mesh, 19 -> 21 on the cylinder)."""
+        if self.pschwarz is None:
+            from .schwarz import (
+                build_p0_coarse, build_pressure_patches, extract_sparse_E,
+            )
+
+            B = extract_sparse_E(self)
+            self.pschwarz = build_pressure_patches(
+                self, weighted=False, B=B, adjacency=adjacency
+            )
+            self.p0Acinv = jnp.asarray(build_p0_coarse(self, B=B), self.dtype)
+
+    def pressure_precond_schwarz(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Three-level overlapping-Schwarz preconditioner for E = D M^-1 D^T:
+        exact element+face-neighbor patch solves + P0 element-constant
+        coarse + Q1 vertex coarse (ops/schwarz.py) — the TPU-native
+        equivalent of Nek5000's overlapping Schwarz + XXT hierarchy
+        (SURVEY.md section 2.2).  Measured round 4: 20/53/19 CG iterations
+        to 1e-5 on quick-BFS/Barkley-BFS/cylinder vs 232/1779/86 for the
+        box-FDM two-level."""
+        from .schwarz import p0_coarse_apply, patch_apply
+
+        z = patch_apply(*self.pschwarz, r) + p0_coarse_apply(self.p0Acinv, r)
+        rg = jnp.einsum("ai,bj,eab->eij", self.Jp, self.Jp, r)
+        zc = self.coarse_apply_pressure(rg)
+        return z + jnp.einsum("ai,bj,eij->eab", self.Jp, self.Jp, zc)
+
+    def pressure_precond_block(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Two-level exact-block + Q1-coarse preconditioner for
+        E = D M^-1 D^T (ops/schwarz.py — the mesh-robust replacement for
+        :meth:`pressure_precond_pnpn2` on graded/deformed meshes; the
+        reference's Nek5000 Schwarz+XXT hierarchy plays this role,
+        SURVEY.md section 2.2)."""
+        from .schwarz import block_apply
+
+        z = block_apply(self.pblock_inv, r)
+        rg = jnp.einsum("ai,bj,eab->eij", self.Jp, self.Jp, r)
+        zc = self.coarse_apply_pressure(rg)
+        return z + jnp.einsum("ai,bj,eij->eab", self.Jp, self.Jp, zc)
 
     def coarse_apply_pressure(self, r: jnp.ndarray) -> jnp.ndarray:
         """Q1 vertex coarse-grid correction for the pressure Poisson — the

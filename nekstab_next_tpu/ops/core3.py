@@ -114,6 +114,10 @@ class SEM3:
 
         self.num_shards = 1
         self.has_pressure_dirichlet = mesh.has_pressure_dirichlet
+        # mesh-robust pressure preconditioners (ops/schwarz.py); see SEM
+        self.pblock_inv = None
+        self.pschwarz = None
+        self.p0Acinv = None
 
     # ------------------------------------------------------------------
     _ELEM_FIELDS = (
@@ -130,6 +134,8 @@ class SEM3:
     def elem_arrays(self) -> dict:
         d = {k: getattr(self, k) for k in self._ELEM_FIELDS}
         d["gid"] = self.gid.reshape(self.nelem, self.n, self.n, self.n)
+        if self.pblock_inv is not None:
+            d["pblock_inv"] = self.pblock_inv
         return d
 
     def shard_view(self, elem_arrays: dict, axis_name: str) -> "SEM3":
@@ -140,6 +146,7 @@ class SEM3:
         v.gid = elem_arrays["gid"].reshape(-1)
         v.nelem = elem_arrays["gid"].shape[0]
         v.axis_name = axis_name
+        v.pblock_inv = elem_arrays.get("pblock_inv")
         return v
 
     # ------------------------------------------------------------------
@@ -251,6 +258,46 @@ class SEM3:
         rg = jnp.einsum("ai,bj,ck,eabc->eijk", self.Jp, self.Jp, self.Jp, r)
         z = self.fdm_apply(rg, 1.0, 0.0) + self.coarse_apply_pressure(rg)
         return jnp.einsum("ai,bj,ck,eijk->eabc", self.Jp, self.Jp, self.Jp, z)
+
+    def setup_pressure_blocks(self) -> None:
+        """Exact element-block pressure preconditioner (see SEM)."""
+        if self.pblock_inv is None:
+            from .schwarz import build_pressure_blocks
+
+            self.pblock_inv = build_pressure_blocks(self)
+
+    def setup_pressure_schwarz(self, adjacency: str = "face") -> None:
+        """Overlapping patch + P0 coarse pressure preconditioner (see SEM).
+        3-D note: patch dimension is 7 x npr^3 — memory scales as
+        nelem x pdim^2; prefer 'block' beyond ~1k elements."""
+        if self.pschwarz is None:
+            from .schwarz import (
+                build_p0_coarse, build_pressure_patches, extract_sparse_E,
+            )
+
+            B = extract_sparse_E(self)
+            self.pschwarz = build_pressure_patches(
+                self, weighted=False, B=B, adjacency=adjacency
+            )
+            self.p0Acinv = jnp.asarray(build_p0_coarse(self, B=B), self.dtype)
+
+    def pressure_precond_block(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Exact element-block + Q1 coarse (3-D analogue of SEM's)."""
+        from .schwarz import block_apply
+
+        z = block_apply(self.pblock_inv, r)
+        rg = jnp.einsum("ai,bj,ck,eabc->eijk", self.Jp, self.Jp, self.Jp, r)
+        zc = self.coarse_apply_pressure(rg)
+        return z + jnp.einsum("ai,bj,ck,eijk->eabc", self.Jp, self.Jp, self.Jp, zc)
+
+    def pressure_precond_schwarz(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Overlapping patches + P0 + Q1 coarse (3-D analogue of SEM's)."""
+        from .schwarz import p0_coarse_apply, patch_apply
+
+        z = patch_apply(*self.pschwarz, r) + p0_coarse_apply(self.p0Acinv, r)
+        rg = jnp.einsum("ai,bj,ck,eabc->eijk", self.Jp, self.Jp, self.Jp, r)
+        zc = self.coarse_apply_pressure(rg)
+        return z + jnp.einsum("ai,bj,ck,eijk->eabc", self.Jp, self.Jp, self.Jp, zc)
 
     def fdm_apply(self, r: jnp.ndarray, h1, h2) -> jnp.ndarray:
         """Approximate elementwise inverse of (h1 K + h2 B) via tensor-product

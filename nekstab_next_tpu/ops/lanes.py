@@ -420,7 +420,50 @@ class LanesOps:
         self._einv = jnp.asarray(Einv, self.sem.dtype)
         return self._einv
 
-    def pressure_bundle(self, project_mean: bool, direct: bool = False):
+    def _q1_coarse_p(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Q1 vertex coarse correction fused with the Gauss lift/restrict."""
+        rc = jax.ops.segment_sum(
+            _mm(self.JCG, r).reshape(-1), self.cid_l, num_segments=self.nc
+        )
+        xc = _mm(self.Acinv, rc[:, None])[:, 0]
+        return _mm(self.JCGT, xc[self.cid_mat])
+
+    def precond_p_blocks(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Exact element-block + Q1-coarse preconditioner in lanes layout
+        (ops/schwarz.py blocks; mirrors SEM.pressure_precond_block)."""
+        Binv = self.sem.pblock_inv  # (E, npr2, npr2)
+        z = jnp.einsum("elk,ke->le", Binv, r, precision=_PREC)
+        return z + self._q1_coarse_p(r)
+
+    def precond_p_schwarz(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Overlapping patches + P0 + Q1 coarse in lanes layout (mirrors
+        SEM.pressure_precond_schwarz; the patch gather indices are
+        translated from standard (e*nloc+k) to lanes (k*E+e) flat order)."""
+        sem = self.sem
+        pidx, Pinv, w = sem.pschwarz
+        if getattr(self, "_pidx_l", None) is None:
+            import numpy as _np
+
+            pi = _np.asarray(pidx)
+            N = self.npr2 * self.nelem
+            pad = pi == N
+            pl = (pi % self.npr2) * self.nelem + (pi // self.npr2)
+            pl[pad] = N
+            self._pidx_l = jnp.asarray(pl, jnp.int32)
+        N = self.npr2 * self.nelem
+        rf = jnp.concatenate([r.reshape(-1), jnp.zeros((1,), r.dtype)])
+        rp = rf[self._pidx_l] * w
+        z = jnp.einsum("eab,eb->ea", Pinv, rp, precision=_PREC) * w
+        zf = jax.ops.segment_sum(z.reshape(-1), self._pidx_l.reshape(-1),
+                                 num_segments=N + 1)
+        zl = zf[:N].reshape(self.npr2, self.nelem)
+        # P0 element-constant coarse: element sums live on the lane axis
+        rc = jnp.sum(r, axis=0)
+        xc = _mm(sem.p0Acinv, rc[:, None])[:, 0]
+        return zl + xc[None, :] + self._q1_coarse_p(r)
+
+    def pressure_bundle(self, project_mean: bool, direct: bool = False,
+                        precond: str = "fdm"):
         """(to_l, from_l, E_op, M, dot, project) for cg_solve's lanes path."""
         u_example = jax.ShapeDtypeStruct(
             (self.n2, self.ndim * self.nelem), self.sem.dtype
@@ -439,6 +482,14 @@ class LanesOps:
                 return q - (jnp.sum(q) / csq)
 
         M = self.precond_p
+        if precond == "schwarz" and not direct:
+            if self.sem.pschwarz is None:
+                self.sem.setup_pressure_schwarz()
+            M = self.precond_p_schwarz
+        elif precond == "block" and not direct:
+            if self.sem.pblock_inv is None:
+                self.sem.setup_pressure_blocks()
+            M = self.precond_p_blocks
         if direct:
             Einv = self.direct_pressure_inv()
             shape = (self.npr2, self.nelem)

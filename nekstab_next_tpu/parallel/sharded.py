@@ -85,6 +85,15 @@ class ShardedContext:
         self.ns_kwargs = dict(ns_kwargs)
         self._forcing = forcing
 
+        # mesh-robust pressure preconditioning under SPMD: the exact
+        # element blocks are element-local, so they shard along 'e' like
+        # any geometry array ('schwarz' patches gather across element
+        # boundaries and fall back to 'block' here; SolverConfig docs)
+        solver = self.ns_kwargs.get("solver", SolverConfig())
+        if (solver.pressure_precond in ("block", "schwarz")
+                and solver.pressure_operator == "pnpn2"):
+            self._sem_host.setup_pressure_blocks()
+
         eshard = NamedSharding(self.jmesh, P(axis))
         arrays = self._sem_host.elem_arrays()
         s = self._sem_host

@@ -136,6 +136,18 @@ class NavierStokes:
         # inside elliptic_solve)
         self._kdiag_local = s.stiffness_diag()
 
+        # mesh-robust pressure preconditioners (ops/schwarz.py): build
+        # eagerly — the construction runs real device computations, which
+        # must not happen mid-trace.  Under shard_map the shard view
+        # carries the sharded pblock_inv slices ('schwarz' patches gather
+        # across element boundaries, so the sharded path falls back to
+        # 'block'; see SolverConfig.pressure_precond).
+        if solver.pressure_operator == "pnpn2" and s.axis_name is None:
+            if solver.pressure_precond == "schwarz":
+                s.setup_pressure_schwarz(adjacency=solver.pressure_patch_overlap)
+            elif solver.pressure_precond == "block":
+                s.setup_pressure_blocks()
+
         # opt-in mixed precision: f32 Pallas-fused inner CG + f64 iterative
         # refinement for both elliptic solves (ops/mixed.py)
         self.mixed = None
@@ -423,11 +435,20 @@ class NavierStokes:
                 lanes_p = self.lanes.pressure_bundle(
                     project_mean=not s.has_pressure_dirichlet,
                     direct=self.solver.pressure_direct,
+                    precond=self.solver.pressure_precond,
                 )
+            if (self.solver.pressure_precond == "schwarz"
+                    and s.pschwarz is not None):
+                precond_p = s.pressure_precond_schwarz
+            elif (self.solver.pressure_precond in ("block", "schwarz")
+                    and s.pblock_inv is not None):
+                precond_p = s.pressure_precond_block
+            else:
+                precond_p = s.pressure_precond_pnpn2
             dp = cg_solve(
                 E_op,
                 rhs_p,
-                precond=s.pressure_precond_pnpn2,
+                precond=precond_p,
                 tol=self.solver.pressure_tol,
                 maxiter=self.solver.pressure_maxiter,
                 dot=lambda a, c: s._reduce(jnp.sum(a * c)),
