@@ -125,6 +125,7 @@ def linear_stability_analysis(
     base_T: Optional[jnp.ndarray] = None,
     spurious_factor: Optional[float] = 3.0,
     checkpoint=None,
+    checkpoint_steps: bool = False,
 ) -> StabilityResult:
     """Leading direct/adjoint eigenmodes of the linearized flow.
 
@@ -155,6 +156,7 @@ def linear_stability_analysis(
     res = eigs(
         matvec, space, x0, k_dim=k_dim, nev=nev, tol=tol,
         schur_del=schur_del, max_restarts=max_restarts, checkpoint=checkpoint,
+        checkpoint_steps=checkpoint_steps,
     )
     T = op.T
     lam = np.log(res.eigenvalues.astype(np.complex128)) / T

@@ -57,6 +57,72 @@ class ArnoldiCheckpoint:
             }
             return leaves, z["H"], int(z["ncols"]), meta
 
+    # ------------------------------------------------------------------
+    # per-Arnoldi-step incremental checkpointing (the reference outposts
+    # every Krylov vector + the ascii Hessenberg each step when ifres —
+    # core/eigensolvers.f90:758-857; here one .npz per column + one small
+    # atomically-replaced state file, so a crash costs at most one matvec)
+    # ------------------------------------------------------------------
+    def _col_path(self, j: int) -> str:
+        return os.path.join(self.directory,
+                            f"KRY_{self.session}_c{j:05d}.npz")
+
+    @property
+    def state_path(self) -> str:
+        return os.path.join(self.directory, f"HES_{self.session}.npz")
+
+    def save_column(self, j: int, col_leaves, H: np.ndarray, ncols: int,
+                    **meta) -> None:
+        """Persist basis column ``j`` plus the (H, ncols) state.  ``ncols``
+        is the next Arnoldi index to run on resume; columns 0..ncols must
+        exist on disk for the state to be resumable.  Column first, state
+        second, both atomic — a crash in between leaves the previous state
+        valid (the extra column file is simply ignored)."""
+        leaves = (col_leaves if isinstance(col_leaves, (list, tuple))
+                  else [col_leaves])
+        payload = {f"q{i}": np.asarray(l) for i, l in enumerate(leaves)}
+        tmp = self._col_path(j) + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, self._col_path(j))
+        st = {"H": np.asarray(H), "ncols": np.asarray(int(ncols))}
+        for k, v in meta.items():
+            st[f"meta_{k}"] = np.asarray(v)
+        tmp = self.state_path + ".tmp.npz"
+        np.savez(tmp, **st)
+        os.replace(tmp, self.state_path)
+
+    def load_columns(self) -> Optional[Tuple[dict, np.ndarray, int, dict]]:
+        """Resume state for a mid-factorization restart: ({j: leaves}, H,
+        ncols, meta), or None.  Only columns <= ncols are returned."""
+        if not os.path.exists(self.state_path):
+            return None
+        with np.load(self.state_path) as z:
+            H = z["H"]
+            ncols = int(z["ncols"])
+            meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
+        cols = {}
+        for j in range(ncols + 1):
+            p = self._col_path(j)
+            if not os.path.exists(p):
+                continue
+            with np.load(p) as z:
+                nq = sum(1 for k in z.files if k.startswith("q"))
+                cols[j] = [z[f"q{i}"] for i in range(nq)]
+        return cols, H, ncols, meta
+
+    def clear_columns(self) -> None:
+        """Drop per-step state (called when a Schur restart rewrites the
+        basis — the restart bundle supersedes the step files)."""
+        import glob
+
+        for p in glob.glob(
+            os.path.join(self.directory, f"KRY_{self.session}_c*.npz")
+        ):
+            os.remove(p)
+        if os.path.exists(self.state_path):
+            os.remove(self.state_path)
+
     def clear(self) -> None:
         if os.path.exists(self.path):
             os.remove(self.path)
+        self.clear_columns()

@@ -70,6 +70,7 @@ def eigs(
     max_restarts: int = 50,
     callback: Optional[Callable] = None,
     checkpoint=None,
+    checkpoint_steps: bool = False,
 ) -> EigenResult:
     """Leading eigenpairs of the (propagator) operator ``matvec``.
 
@@ -80,7 +81,14 @@ def eigs(
     ``checkpoint``: optional :class:`~nekstab_next_tpu.io.checkpoint.
     ArnoldiCheckpoint`; the (basis, H) pair persists after every restart and
     a fresh call resumes from the last saved restart (the reference's
-    ``ifres`` KRY/HES checkpointing, eigensolvers.f90:240-285, 758-857)."""
+    ``ifres`` KRY/HES checkpointing, eigensolvers.f90:240-285, 758-857).
+
+    ``checkpoint_steps``: additionally persist every Arnoldi column + the
+    Hessenberg as it is produced (one .npz per column + an atomically-
+    replaced state file), so a crash mid-factorization resumes at the last
+    completed matvec instead of the last Schur restart — the reference
+    outposts KRY/HES every step for the same reason
+    (core/eigensolvers.f90:758-857, reload core/IO.f90:12-73)."""
     import jax
 
     basis = Basis(space, x0, capacity=k_dim + 1)
@@ -103,6 +111,34 @@ def eigs(
             )
             H[:] = Hs
             m = mcols
+        # per-step columns extend past the last restart bundle (cleared at
+        # each restart, so whatever is on disk postdates the bundle)
+        stepsave = checkpoint.load_columns()
+        if stepsave is not None:
+            cols, Hc, ncols, _smeta = stepsave
+            # columns <= m come from the restart bundle; the step files
+            # only need to cover what postdates it
+            if ncols > m and all(j in cols for j in range(m, ncols + 1)):
+                qt = basis.get(0)
+                struct = jax.tree.structure(qt)
+                tleaves = jax.tree.leaves(qt)
+                for j, lv in cols.items():
+                    basis.set(j, jax.tree.unflatten(
+                        struct,
+                        [jax.numpy.asarray(l, dtype=t.dtype)
+                         for l, t in zip(lv, tleaves)],
+                    ))
+                H[:] = Hc
+                m = ncols
+
+    def _save_col(j: int, restart: int) -> None:
+        if checkpoint is not None and checkpoint_steps:
+            checkpoint.save_column(
+                j, [np.asarray(l) for l in jax.tree.leaves(basis.get(j))],
+                H, j, restart=restart, n_matvecs=nmv,
+            )
+
+    _save_col(m, 0)  # seed (or resumed head) column
 
     # max_restarts counts Schur *condensations*; the factorization + Ritz
     # analysis always runs at least once (so max_restarts=0 still returns a
@@ -111,6 +147,7 @@ def eigs(
         for j in range(m, k_dim):
             beta = arnoldi_step(matvec, space, basis, H, j)
             nmv += 1
+            _save_col(j + 1, restart)
             if callback is not None:
                 callback(restart, j, beta)
             if beta <= 1e-12:
@@ -154,11 +191,12 @@ def eigs(
         H[m, :m] = beta * Z[k_dim - 1, :m]
 
         if checkpoint is not None:
-            import jax
-
             checkpoint.save(
                 [np.asarray(l) for l in jax.tree.leaves(basis.Q)],
                 H, m, restart=restart, n_matvecs=nmv,
             )
+            # the rotation rewrote every column: step files are stale
+            checkpoint.clear_columns()
+            _save_col(m, restart + 1)
 
     return EigenResult(vals, res, vecs, basis, H, k_dim, ncv, nmv, history)

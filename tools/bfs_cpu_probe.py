@@ -29,20 +29,19 @@ def main():
     ap.add_argument("--preset", default="barkley", choices=sorted(PRESETS))
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--chunk", type=int, default=200)
-    ap.add_argument("--blocks", action="store_true",
-                    help="use the exact-block pressure preconditioner")
-    ap.add_argument("--cfl-every", type=int, default=1000)
+    ap.add_argument("--precond", default="schwarz",
+                    choices=("fdm", "block", "schwarz"))
     args = ap.parse_args()
     P = PRESETS[args.preset]
 
     solver = SolverConfig(pressure_tol=1e-8, velocity_tol=1e-9,
                           pressure_maxiter=2000, velocity_maxiter=500,
-                          pressure_blocks=args.blocks)
+                          pressure_precond=args.precond)
     case = build_case(P, solver=solver, sponge=False)
     sem = case.sem
     ns = case.make_ns()
     print(f"[probe] nelem={case.mesh.nelem} order={P['order']} "
-          f"dt={case.dt:.5f} blocks={args.blocks}", flush=True)
+          f"dt={case.dt:.5f} precond={args.precond}", flush=True)
 
     def chunk_fn(st):
         st1 = ns.advance(st, args.chunk - 1)
