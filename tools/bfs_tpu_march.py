@@ -37,12 +37,20 @@ def main():
     ap.add_argument("--chunk", type=int, default=2000)
     ap.add_argument("--tol", type=float, default=2e-5)
     ap.add_argument("--outdir", default="bfs_out")
+    ap.add_argument("--lanes", action="store_true")
     args = ap.parse_args()
     P = PRESETS[args.preset]
 
+    # round-3 postmortem: this march diverged on the graded 'barkley' mesh
+    # with the 12-iteration capped CG + the collapsed FDM/dense-inverse
+    # preconditioners, while the f64 march with converged solves is stable
+    # (tools/bfs_cpu_probe.py) — solver config, not scheme.  The schwarz
+    # preconditioner holds ~50 iterations to 1e-5 on this mesh, so a
+    # 40-iteration cap is near-converged every step.
     solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
-                          pressure_maxiter=12, velocity_maxiter=24,
-                          lanes_layout=True, pressure_direct=True)
+                          pressure_maxiter=40, velocity_maxiter=24,
+                          pressure_precond="schwarz",
+                          lanes_layout=args.lanes)
     # f32 stepper on the chip; the base-flow march runs UNSPONGED (the
     # steady state of pure NS) — the TG stepper then turns the sponge on
     # with sponge_ref = this base flow, which keeps it an equilibrium
