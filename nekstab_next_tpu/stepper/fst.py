@@ -159,6 +159,79 @@ def isotropic_modes(
     return omega, beta, prof
 
 
+def load_fst_data(directory: str, numk: int, nmodes: int,
+                  ndim: int = 3) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Read the reference's ``FST_data/`` mode library (core/fst.f90:22-58).
+
+    File layout (1-indexed ``%3.3d`` over the numk*nmodes modes):
+
+    * ``wavenumber{m:03d}.dat`` — three lines: omega, (ignored), beta
+      (``initWavenumbers``, fst.f90:22-36);
+    * ``velocity{m:03d}.dat`` — first line npoints, then npoints rows of 7
+      columns ``y  uRe uIm  vRe vIm  wRe wIm`` (``initModes``,
+      fst.f90:38-58).  As in the reference's ``interpolateModes``
+      (fst.f90:106-121, which splines every file against ``umodes(1,1,1)``)
+      the y-grid of the FIRST file is the shared abscissa.
+
+    Returns (omega (M,), beta (M,), profile_y (npts,),
+    profiles (M, npts, ndim, 2)) ready for :meth:`FSTInflow.from_modes`."""
+    import os
+
+    M = numk * nmodes
+    omega = np.zeros(M)
+    beta = np.zeros(M)
+    prof_rows = []
+    profile_y = None
+    for m in range(M):
+        wpath = os.path.join(directory, f"wavenumber{m + 1:03d}.dat")
+        with open(wpath) as fh:
+            lines = [ln for ln in fh.read().splitlines()]
+        omega[m] = float(lines[0].split()[0])
+        beta[m] = float(lines[2].split()[0])
+        vpath = os.path.join(directory, f"velocity{m + 1:03d}.dat")
+        data = np.loadtxt(vpath, skiprows=1)
+        npts = int(np.loadtxt(vpath, max_rows=1))
+        data = np.atleast_2d(data)[:npts]
+        if profile_y is None:
+            profile_y = data[:, 0].copy()
+        prof_rows.append(data[:, 1:7])
+    prof = np.stack(prof_rows)  # (M, npts, 6): uRe uIm vRe vIm wRe wIm
+    profiles = np.zeros((M, prof.shape[1], ndim, 2))
+    for d in range(min(ndim, 3)):
+        profiles[:, :, d, 0] = prof[:, :, 2 * d]
+        profiles[:, :, d, 1] = prof[:, :, 2 * d + 1]
+    return omega, beta, profile_y, profiles
+
+
+def fst_from_directory(
+    mesh,
+    directory: str,
+    numk: int,
+    nmodes: int,
+    tu: float,
+    length: float,
+    k_ini: float,
+    k_fin: float,
+    u_mean=(1.0, 0.0),
+    inlet: Optional[np.ndarray] = None,
+) -> "FSTInflow":
+    """Build an :class:`FSTInflow` from a reference ``FST_data/`` directory:
+    file ingestion (fst.f90 ``initWavenumbers``/``initModes``) + spline
+    interpolation onto the inlet + von Karman amplitudes, replaying
+    reference FST cases bit-comparably."""
+    ndim = len(u_mean)
+    omega, beta, profile_y, profiles = load_fst_data(
+        directory, numk, nmodes, ndim=ndim
+    )
+    amps = np.repeat(
+        von_karman_amplitudes(k_ini, k_fin, numk, nmodes, tu, length), nmodes
+    )
+    return FSTInflow.from_modes(
+        mesh, omega, beta, profile_y, profiles, amps,
+        u_mean=u_mean, inlet=inlet,
+    )
+
+
 @dataclass
 class FSTInflow:
     """Time-dependent inlet velocity field  u_in(t)  as a jit-safe callable.

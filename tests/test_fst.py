@@ -73,3 +73,74 @@ def test_fst_inflow_signal_and_stepper():
     want = np.asarray(fst(ns.dt)).reshape(-1, 2)[fst.inlet_idx]
     got = np.asarray(st1.u).reshape(-1, 2)[fst.inlet_idx]
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_fst_data_reader_roundtrip(tmp_path):
+    """Reference FST_data/ ingestion (fst.f90 initWavenumbers/initModes):
+    write a synthetic mode library in the exact file format, read it back,
+    and check the reconstructed inlet signal against a direct NumPy replay
+    of the Fortran computeTurbu recipe (fst.f90:160-224)."""
+    from nekstab_next_tpu.stepper.fst import fst_from_directory, load_fst_data
+
+    rng = np.random.default_rng(3)
+    numk, nmodes = 3, 2
+    M = numk * nmodes
+    npts = 21
+    ygrid = np.linspace(0.0, 1.0, npts)
+    omega = rng.uniform(0.5, 3.0, M)
+    beta = rng.uniform(-1.0, 1.0, M)
+    prof = rng.standard_normal((M, npts, 6)) * 0.3
+
+    d = tmp_path / "FST_data"
+    d.mkdir()
+    for m in range(M):
+        (d / f"wavenumber{m+1:03d}.dat").write_text(
+            f"{omega[m]:.12e}\n0.0\n{beta[m]:.12e}\n"
+        )
+        rows = "\n".join(
+            f"{ygrid[i]:.12e} " + " ".join(f"{prof[m, i, c]:.12e}"
+                                           for c in range(6))
+            for i in range(npts)
+        )
+        (d / f"velocity{m+1:03d}.dat").write_text(f"{npts}\n{rows}\n")
+
+    om2, be2, y2, p2 = load_fst_data(str(d), numk, nmodes, ndim=3)
+    np.testing.assert_allclose(om2, omega, rtol=1e-12)
+    np.testing.assert_allclose(be2, beta, rtol=1e-12)
+    np.testing.assert_allclose(y2, ygrid, rtol=1e-12)
+    np.testing.assert_allclose(p2[..., 0, 0], prof[:, :, 0], rtol=1e-12)
+    np.testing.assert_allclose(p2[..., 2, 1], prof[:, :, 5], rtol=1e-12)
+
+    # end-to-end: inlet signal vs a direct replay of computeTurbu
+    mesh = box_mesh_2d(3, 4, order=4, x0=0.0, x1=3.0, y0=0.0, y1=1.0)
+    tu, length, k_ini, k_fin = 0.03, 1.0, 0.8, 4.0
+    inflow = fst_from_directory(
+        mesh, str(d), numk, nmodes, tu=tu, length=length,
+        k_ini=k_ini, k_fin=k_fin, u_mean=(1.0, 0.0),
+    )
+    t = 0.37
+    got = np.asarray(inflow.inlet_velocity(t))
+
+    from nekstab_next_tpu.stepper.fst import (
+        natural_cubic_spline, von_karman_amplitudes,
+    )
+
+    x = mesh.x.reshape(-1)
+    vm = np.asarray(mesh.vmask[..., 0]).reshape(-1)
+    idx = np.nonzero((np.abs(x - x.min()) < 1e-10) & (vm == 0.0))[0]
+    yq = mesh.y.reshape(-1)[idx]
+    zq = np.zeros_like(yq)
+    amps = np.repeat(
+        von_karman_amplitudes(k_ini, k_fin, numk, nmodes, tu, length), nmodes
+    )
+    want = np.tile([1.0, 0.0], (len(idx), 1))
+    for m in range(M):
+        auxc = (np.cos(+omega[m] * t + beta[m] * zq)
+                + np.cos(-omega[m] * t + beta[m] * zq))
+        auxs = (-np.sin(+omega[m] * t + beta[m] * zq)
+                - np.sin(-omega[m] * t + beta[m] * zq))
+        for dcomp, (cr, ci) in enumerate(((0, 1), (2, 3))):
+            ure = natural_cubic_spline(ygrid, prof[m, :, cr], yq)
+            uim = natural_cubic_spline(ygrid, prof[m, :, ci], yq)
+            want[:, dcomp] += amps[m] * (ure * auxc + uim * auxs)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
