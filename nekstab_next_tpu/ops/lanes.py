@@ -213,20 +213,26 @@ class LanesOps:
                 buckets.setdefault((fd, fs, flip), []).append((ed, es))
         fx = []
         for (fd, fs, flip), pairs in sorted(buckets.items()):
-            H = np.zeros((E, E))
+            # neighbor map as a lane-axis GATHER, not a one-hot (E, E)
+            # matmul: the matmul form measured O(E^2) MXU work per bucket
+            # (~4.5 GFLOP apiece at E=768) and made the whole lanes path
+            # 3.7x slower than standard (round-3 lanes_probe.log); the
+            # gather is the logical O(E) data movement.  idx[ed] = es, or
+            # E (a zero pad slot) for boundary elements.
+            idx = np.full(E, E, dtype=np.int64)
             for ed, es in pairs:
-                H[es, ed] = 1.0
-            fx.append((fd, fs, flip, f(H)))
+                idx[ed] = es
+            fx.append((fd, fs, flip, jnp.asarray(idx, jnp.int32)))
 
-        # vertex (corner) assembly: compact one-hot pair
+        # vertex (corner) assembly: segment-sum over the compact vertex ids
+        # + gather back (was a one-hot (4E, ncc) matmul pair)
         ci = np.array([0, 0, n - 1, n - 1])
         cj = np.array([0, n - 1, 0, n - 1])
         cg = gid[:, ci, cj].T  # (4, E)
         uniq, inv = np.unique(cg.reshape(-1), return_inverse=True)
         ncc = uniq.size
-        W = np.zeros((4 * E, ncc))
-        W[np.arange(4 * E), inv] = 1.0
-        return dict(fx=fx, faces=faces, ci=ci, cj=cj, W=f(W), ncc=ncc)
+        return dict(fx=fx, faces=faces, ci=ci, cj=cj,
+                    inv=jnp.asarray(inv, jnp.int32), ncc=ncc)
 
     @staticmethod
     def _face_get(xr, fc):
@@ -249,11 +255,14 @@ class LanesOps:
         C = x.shape[1] // E
         xr = x.reshape(n, n, C, E)
         contrib = {}
-        for fd, fs, flip, H in ex["fx"]:
+        for fd, fs, flip, idx in ex["fx"]:
             src = self._face_get(xr, fs)  # (n-2, C, E)
             if flip:
                 src = src[::-1]
-            add = jnp.einsum("rce,ef->rcf", src, H, precision=_PREC)
+            ext = jnp.concatenate(
+                [src, jnp.zeros(src.shape[:2] + (1,), src.dtype)], axis=-1
+            )
+            add = ext[:, :, idx]  # lane gather: neighbor or zero pad
             contrib[fd] = contrib.get(fd, 0.0) + add
         out = xr
         for fd, add in contrib.items():
@@ -266,13 +275,16 @@ class LanesOps:
                 out = out.at[1:-1, 0].set(cur)
             else:
                 out = out.at[1:-1, -1].set(cur)
-        # corners: global vertex sums via the compact one-hot pair
+        # corners: global vertex sums via segment-sum + gather
         vals = jnp.stack(
             [xr[0, 0], xr[0, -1], xr[-1, 0], xr[-1, -1]]
         )  # (4, C, E)
         flat = vals.transpose(1, 0, 2).reshape(C, 4 * E)
-        z = _mm(flat, ex["W"])  # (C, ncc) vertex sums
-        spread = _mm(z, ex["W"].T).reshape(C, 4, E).transpose(1, 0, 2)
+        z = jax.vmap(
+            lambda row: jax.ops.segment_sum(row, ex["inv"],
+                                            num_segments=ex["ncc"])
+        )(flat)  # (C, ncc) vertex sums
+        spread = z[:, ex["inv"]].reshape(C, 4, E).transpose(1, 0, 2)
         out = out.at[0, 0].set(spread[0])
         out = out.at[0, -1].set(spread[1])
         out = out.at[-1, 0].set(spread[2])

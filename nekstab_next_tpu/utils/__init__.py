@@ -3,6 +3,7 @@ from .diagnostics import (
     total_energy,
     total_enstrophy,
     boundary_quadrature,
+    define_objects,
     surface_force_and_torque,
     zero_crossings,
     periods_from_signal,
@@ -15,6 +16,7 @@ __all__ = [
     "total_energy",
     "total_enstrophy",
     "boundary_quadrature",
+    "define_objects",
     "surface_force_and_torque",
     "zero_crossings",
     "periods_from_signal",

@@ -95,6 +95,64 @@ def boundary_quadrature(
     )
 
 
+def define_objects(
+    mesh: Mesh2D,
+    tags: Sequence[BC] = (BC.WALL,),
+    classify=None,
+) -> List[BoundaryQuadrature]:
+    """Partition the tagged boundary into immersed OBJECTS and return one
+    :class:`BoundaryQuadrature` per object — the reference's multi-object
+    machinery (``nekStab_define_obj`` groups boundary faces into objects
+    and ``nekStab_torque`` reports drag/lift/torque per object,
+    core/utils.f90:718-895).
+
+    Default grouping: connected components of the tagged edge graph (two
+    edges belong to the same object iff they share a mesh vertex — each
+    closed body surface becomes one object).  ``classify(xmid, ymid) ->
+    int`` overrides with explicit object ids."""
+    bq = boundary_quadrature(mesh, tags=tags)
+    ne = len(bq.elems)
+    gid = np.asarray(mesh.gid)
+
+    if classify is not None:
+        labels = np.array([
+            int(classify(float(mesh.x[bq.elems[k], bq.ii[k], bq.jj[k]].mean()),
+                         float(mesh.y[bq.elems[k], bq.ii[k], bq.jj[k]].mean())))
+            for k in range(ne)
+        ])
+    else:
+        # union-find over shared edge-endpoint global ids
+        parent = np.arange(ne)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        end_ids = {}
+        for k in range(ne):
+            e = bq.elems[k]
+            for end in (0, -1):
+                g = int(gid[e, bq.ii[k, end], bq.jj[k, end]])
+                if g in end_ids:
+                    ra, rb = find(end_ids[g]), find(k)
+                    parent[rb] = ra
+                else:
+                    end_ids[g] = k
+        roots = np.array([find(k) for k in range(ne)])
+        _, labels = np.unique(roots, return_inverse=True)
+
+    out = []
+    for lab in np.unique(labels):
+        sel = labels == lab
+        out.append(BoundaryQuadrature(
+            elems=bq.elems[sel], ii=bq.ii[sel], jj=bq.jj[sel],
+            ds=bq.ds[sel], normal=bq.normal[sel],
+        ))
+    return out
+
+
 def surface_force_and_torque(
     sem,
     bq: BoundaryQuadrature,
