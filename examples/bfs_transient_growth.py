@@ -35,6 +35,7 @@ import numpy as np
 from nekstab_next_tpu.algorithms import transient_growth_analysis
 from nekstab_next_tpu.algorithms.fixed_point import boostconv_dns
 from nekstab_next_tpu.campaign import Campaign, Stage, artifact_exists
+from nekstab_next_tpu.config import SolverConfig
 from nekstab_next_tpu.cases.bfs import BackwardFacingStepCase
 from nekstab_next_tpu.io import load_field, save_field
 
@@ -87,8 +88,11 @@ def main():
     # cases (round-3 bug: main() built the legacy uniform mesh inline, so
     # the graded 'barkley' preset never actually ran).  The base-flow march
     # runs unsponged (steady state of pure NS); the TG stage turns the
-    # sponge on with sponge_ref = base flow.
-    case = build_case(P, sponge=False)
+    # sponge on with sponge_ref = base flow.  Schwarz pressure
+    # preconditioning: the box-FDM two-level collapses on the graded
+    # presets (1779 CG iterations to 1e-5; ops/schwarz.py holds ~50).
+    solver = SolverConfig(pressure_precond="schwarz")
+    case = build_case(P, sponge=False, solver=solver)
     ns = case.make_ns()
     t0 = time.time()
     print(f"[bfs] nelem={case.mesh.nelem} order={P['order']} dt={case.dt:.4f}",
@@ -201,7 +205,7 @@ def main():
         # sponge zones and the energy norm (bm1s) zeroed there; the sponge
         # damps toward the base flow so it remains an equilibrium.
         if P.get("sponge"):
-            case_tg = build_case(P)
+            case_tg = build_case(P, solver=solver)
             ns_tg = case_tg.make_ns(sponge_ref=base)
         else:
             ns_tg = ns

@@ -46,9 +46,12 @@ def main():
     horizons = tuple(args.horizons) if args.horizons else P["horizons"]
     k_dim = args.k_dim or min(P["k_dim"], 16)
 
+    # schwarz preconditioner + 40-iteration cap: near-converged pressure
+    # solves on the graded mesh every step (the round-3 lanes+dense-inverse
+    # config diverged here; see tools/bfs_tpu_march.py)
     solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
-                          pressure_maxiter=12, velocity_maxiter=24,
-                          lanes_layout=True, pressure_direct=True)
+                          pressure_maxiter=40, velocity_maxiter=24,
+                          pressure_precond="schwarz")
     case = build_case(P, dtype=jnp.float32, solver=solver)
     t0 = time.time()
     print(f"[tg] nelem={case.mesh.nelem} order={P['order']} dt={case.dt:.4f} "

@@ -1,0 +1,100 @@
+"""Flagship-f32 matvec: preconditioner x iteration-cap x layout sweep.
+
+Round-4 question (VERDICT Next #2): with the schwarz pressure
+preconditioner (19 CG iterations to 1e-5 on this mesh vs 86 for fdm+Q1),
+where is the new f32 accuracy/speed knee, and does the gather-based lanes
+path now win?  Each config reports ms/matvec and the relative drift of the
+50-step tangent output vs a near-converged f32 reference.
+
+Usage: python tools/flagship_sweep.py [--configs a,b,...]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from nekstab_next_tpu.cases.cylinder import CylinderCase
+from nekstab_next_tpu.config import SolverConfig
+from nekstab_next_tpu.stepper.linearized import LinearizedOperator
+
+NSTEPS = 50
+REPS = 3
+
+CONFIGS = {
+    # label: (precond, lanes, p_cap, v_cap); 'ref' first — drift anchor
+    "ref": ("schwarz", False, 200, 100),
+    "fdm-30-15": ("fdm", False, 30, 15),
+    "sch-30-15": ("schwarz", False, 30, 15),
+    "sch-20-15": ("schwarz", False, 20, 15),
+    "sch-15-12": ("schwarz", False, 15, 12),
+    "sch-10-10": ("schwarz", False, 10, 10),
+    "sch-lanes-20-15": ("schwarz", True, 20, 15),
+    "fdm-lanes-30-15": ("fdm", True, 30, 15),
+}
+
+
+def build(precond, lanes, p_cap, v_cap):
+    solver = SolverConfig(
+        pressure_tol=1e-5, velocity_tol=1e-6,
+        pressure_maxiter=p_cap, velocity_maxiter=v_cap,
+        pressure_precond=precond, lanes_layout=lanes,
+    )
+    case = CylinderCase(
+        reynolds=60.0, nr=16, ntheta=48, order=6, outer_radius=40.0,
+        dtype=jnp.float32, solver=solver,
+    )
+    ns = case.make_ns()
+    base = case.uniform_flow()
+    op = LinearizedOperator(ns, base, nsteps=NSTEPS)
+    q = case.sem.vmask * jnp.asarray(base)
+    return case, op, q
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    args = ap.parse_args()
+
+    ref_out = None
+    for label in args.configs.split(","):
+        precond, lanes, p_cap, v_cap = CONFIGS[label]
+        try:
+            case, op, q = build(precond, lanes, p_cap, v_cap)
+            t0 = time.perf_counter()
+            out = op.matvec(q)
+            jax.block_until_ready(out)
+            t_compile = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                out2 = op.matvec(q)
+            jax.block_until_ready(out2)
+            dt = (time.perf_counter() - t0) / REPS
+            ndof = case.mesh.npoints * 2
+            drift = float("nan")
+            if label == "ref":
+                ref_out = np.asarray(out)
+            elif ref_out is not None:
+                o = np.asarray(out)
+                drift = float(np.linalg.norm(o - ref_out)
+                              / np.linalg.norm(ref_out))
+            print(f"{label:18s} {dt*1e3:8.1f} ms/matvec  "
+                  f"{ndof*NSTEPS/dt:.3e} dof-steps/s  drift={drift:.2e}  "
+                  f"(compile {t_compile:.0f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label:18s} FAILED: {e!r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
