@@ -164,15 +164,18 @@ def build_pressure_blocks(
         blocks[sel] = out[:, sel].transpose(1, 2, 0)
     blocks = 0.5 * (blocks + blocks.transpose(0, 2, 1))
 
-    # SPD block inversion; guard near-singular blocks (an element whose
-    # entire boundary is Dirichlet-free sees the constant through the
-    # coarse level instead)
-    inv = np.zeros_like(blocks)
-    for e in range(nelem):
-        try:
-            inv[e] = np.linalg.inv(blocks[e])
-        except np.linalg.LinAlgError:
-            inv[e] = np.linalg.pinv(blocks[e], rcond=1e-10)
+    # SPD block inversion (batched LAPACK); fall back per-element only if
+    # some block is singular (an element whose entire boundary is
+    # Dirichlet-free sees the constant through the coarse level instead)
+    try:
+        inv = np.linalg.inv(blocks)
+    except np.linalg.LinAlgError:
+        inv = np.zeros_like(blocks)
+        for e in range(nelem):
+            try:
+                inv[e] = np.linalg.inv(blocks[e])
+            except np.linalg.LinAlgError:
+                inv[e] = np.linalg.pinv(blocks[e], rcond=1e-10)
     return jnp.asarray(inv, sem.dtype)
 
 
@@ -252,27 +255,39 @@ def build_pressure_patches(sem, E_op: Optional[Callable] = None,
     pdim = pmax * nloc
 
     pidx = np.full((nelem, pdim), N, dtype=np.int64)
-    Pinv = np.zeros((nelem, pdim, pdim))
+    Pmats = np.zeros((nelem, pdim, pdim))
     counts = np.zeros(N)
+    sizes = np.zeros(nelem, dtype=np.int64)
     for e, mem in enumerate(members):
         nm = len(mem)
         d = nm * nloc
-        P = np.zeros((d, d))
+        sizes[e] = d
+        P = Pmats[e]
         for i, ei in enumerate(mem):
             for j, ej in enumerate(mem):
                 blk = B.get((ei, ej))
                 if blk is not None:
                     P[i * nloc:(i + 1) * nloc, j * nloc:(j + 1) * nloc] = blk
-        P = 0.5 * (P + P.T)
-        try:
-            Pi = np.linalg.inv(P)
-        except np.linalg.LinAlgError:
-            Pi = np.linalg.pinv(P, rcond=1e-10)
-        Pinv[e, :d, :d] = Pi
         idx = np.concatenate([np.arange(m * nloc, (m + 1) * nloc)
                               for m in mem])
         pidx[e, :d] = idx
         counts[idx] += 1.0
+    # pad slots get an identity so the whole (nelem, pdim, pdim) batch
+    # inverts in one LAPACK call (their rows are masked by w afterwards)
+    ar = np.arange(pdim)
+    for e in range(nelem):
+        d = sizes[e]
+        Pmats[e, ar[d:], ar[d:]] = 1.0
+    Pmats = 0.5 * (Pmats + Pmats.transpose(0, 2, 1))
+    try:
+        Pinv = np.linalg.inv(Pmats)
+    except np.linalg.LinAlgError:
+        Pinv = np.zeros_like(Pmats)
+        for e in range(nelem):
+            try:
+                Pinv[e] = np.linalg.inv(Pmats[e])
+            except np.linalg.LinAlgError:
+                Pinv[e] = np.linalg.pinv(Pmats[e], rcond=1e-10)
     w = np.ones((nelem, pdim))
     if weighted:
         cext = np.concatenate([counts, [1.0]])
