@@ -156,19 +156,28 @@ class LinearizedOperator:
 
     # -- adjoint -------------------------------------------------------
     def _mass_weight(self, w):
-        bm = self.sem.bm[..., None]
+        # the SPONGE-MASKED weight bm1s — the same inner product the
+        # Krylov space uses (velocity_space masked=True; the reference's
+        # k_dot weighs with bm1s, core/krylov_subspace.f90:26-60).  Using
+        # the unmasked bm here while the svds dots used bms made the
+        # adjoint inconsistent whenever a sponge was active (round-4 fix).
+        bm = self.sem.bms[..., None]
         if self.coupled:
             return (w[0] * bm, w[1] * bm)
         return w * bm
 
     def _mass_unweight(self, w):
-        bm = self.sem.bm[..., None]
+        # pseudo-inverse: bms is zero inside the sponge (a semi-norm);
+        # those components carry no energy and are quotiented out
+        bm = self.sem.bms[..., None]
+        inv = jnp.where(bm > 0, 1.0 / jnp.where(bm > 0, bm, 1.0), 0.0)
         if self.coupled:
-            return (w[0] / bm, w[1] / bm)
-        return w / bm
+            return (w[0] * inv, w[1] * inv)
+        return w * inv
 
     def rmatvec(self, w):
-        """Adjoint in the energy product: M* = B^{-1} M^T B (B = mass)."""
+        """Adjoint in the (sponge-masked) energy product:
+        M* = W^+ M^T W with W = diag(bm1s)."""
         if self._rmatvec is None:
             example = (
                 (self._template[0], self._template[4])
@@ -252,17 +261,9 @@ class FloquetOperator:
     def matvec(self, q):
         return self._build()(q)
 
-    def _mass_weight(self, w):
-        bm = self.sem.bm[..., None]
-        if self.coupled:
-            return (w[0] * bm, w[1] * bm)
-        return w * bm
-
-    def _mass_unweight(self, w):
-        bm = self.sem.bm[..., None]
-        if self.coupled:
-            return (w[0] / bm, w[1] / bm)
-        return w / bm
+    # sponge-masked energy weighting, as in LinearizedOperator
+    _mass_weight = LinearizedOperator._mass_weight
+    _mass_unweight = LinearizedOperator._mass_unweight
 
     def rmatvec(self, w):
         if self._rmatvec is None:
