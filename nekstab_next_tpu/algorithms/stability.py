@@ -202,6 +202,7 @@ class TransientGrowthResult:
     optimal_responses: List[jnp.ndarray]  # left singular vectors
     horizon: float
     n_matvecs: int
+    residuals: Optional[np.ndarray] = None  # svds triplet residuals
 
 
 def transient_growth_analysis(
@@ -233,6 +234,7 @@ def transient_growth_analysis(
         optimal_responses=res.left,
         horizon=op.T,
         n_matvecs=res.n_matvecs,
+        residuals=res.residuals,
     )
 
 

@@ -108,7 +108,7 @@ def main():
         print(f"[ref-tg] G({T}) = {G:.2f}"
               + (f"  (Barkley {Gref:.2f}, {100*(G/Gref-1):+.1f}%)"
                  if Gref else "")
-              + f"  [{res.n_matvecs} matvecs, {time.time()-t0:.0f}s]",
+              + f"  [{res.n_matvecs} matvecs, svds-res {float(res.residuals[0]):.1e}, {time.time()-t0:.0f}s]",
               flush=True)
     os.makedirs(args.outdir, exist_ok=True)
     with open(os.path.join(args.outdir, "growth_refmesh.json"), "w") as fh:
