@@ -224,6 +224,11 @@ def transient_growth_analysis(
     space = velocity_space(ns.sem)
     if x0 is None:
         x0 = velocity_noise(ns.sem, seed=seed)
+    # the energy norm is the sponge-MASKED semi-norm (bm1s): seed
+    # components inside the mask have zero norm but would still feed the
+    # first matvec — constrain the optimization to the measured subspace
+    # (every later Lanczos vector stays there via the W^+-weighted adjoint)
+    x0 = x0 * (ns.sem.bms > 0)[..., None].astype(x0.dtype)
     res = svds(
         op.matvec, op.rmatvec, space, x0, nsv=nsv, k_dim=k_dim, tol=tol,
     )

@@ -168,12 +168,20 @@ class LinearizedOperator:
 
     def _mass_unweight(self, w):
         # pseudo-inverse: bms is zero inside the sponge (a semi-norm);
-        # those components carry no energy and are quotiented out
+        # those components carry no energy and are quotiented out.  The
+        # vmask/tmask projection keeps the adjoint on the ADMISSIBLE
+        # (homogeneous-BC) subspace: the raw transpose has nonzero rows at
+        # Dirichlet input dofs (the BDF mass term reads them on step 1),
+        # and without the projection svds optimizes over BC-violating
+        # perturbations (measured +0.3% spurious gain on a tiny BFS vs
+        # the dense restricted ground truth; the direct map is admissible
+        # by construction since every step masks its output).
         bm = self.sem.bms[..., None]
         inv = jnp.where(bm > 0, 1.0 / jnp.where(bm > 0, bm, 1.0), 0.0)
         if self.coupled:
-            return (w[0] * inv, w[1] * inv)
-        return w * inv
+            return (w[0] * inv * self.sem.vmask,
+                    w[1] * inv * self.sem.tmask[..., None])
+        return w * inv * self.sem.vmask
 
     def rmatvec(self, w):
         """Adjoint in the (sponge-masked) energy product:
