@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--preset", default="quick", choices=sorted(PRESETS))
     ap.add_argument("--outdir", default="bfs_out")
     ap.add_argument("--horizons", type=float, nargs="*", default=None)
+    ap.add_argument("--gate", type=float, default=0.15,
+                    help="relative G(t) tolerance vs Barkley for the "
+                         "campaign to pass (>= 3 horizons required)")
     args = ap.parse_args()
     P = PRESETS[args.preset]
     horizons = tuple(args.horizons) if args.horizons else P["horizons"]
@@ -226,7 +229,18 @@ def main():
                      if Gref else ""), flush=True)
         with open(os.path.join(wd, "growth.json"), "w") as fh:
             json.dump(rows, fh, indent=1)
-        return {"points": rows}
+        # quantitative gate (reference autorun.py + barkley2008_fig5.ref):
+        # the campaign FAILS unless >= 3 horizons agree with Barkley to
+        # the gate tolerance — an existence-only check banked a -58%
+        # result in round 3
+        within = [r for r in rows
+                  if r["rel"] is not None and abs(r["rel"]) <= args.gate]
+        if len([r for r in rows if r["rel"] is not None]) >= 3:
+            assert len(within) >= 3, (
+                f"Barkley G(t) gate: only {len(within)} of {len(rows)} "
+                f"horizons within {args.gate:.0%}: {rows}"
+            )
+        return {"points": rows, "n_within_gate": len(within)}
 
     campaign = Campaign(args.outdir, [
         Stage("baseflow", run_baseflow, done=baseflow_ok),
