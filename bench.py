@@ -97,15 +97,22 @@ def run(nr: int, ntheta: int, mixed: bool) -> dict:
         )
         dtype = jnp.float64
     else:
-        # measured knee (round 3, /tmp/maxiter_probe*): pressure CG
-        # dominates the step; capping at 30 iterations changes the 50-step
-        # tangent output by only ~2e-4 relative — the f32 noise floor —
-        # while uncapped runs 2.3x longer chasing a tolerance f32 cannot
-        # convert into accuracy (caps of 20/10 degrade to 2e-2; 12/6
-        # diverges, so 30/15 is the production f32 setting, not a trick)
+        # measured knee (round 4, tools/flagship_sweep.py): with the exact
+        # element-block pressure preconditioner (ops/schwarz.py 'block' —
+        # one batched (E, nloc, nloc) matmul per iteration, no
+        # gather/scatter) the caps drop from the round-3 fdm setting 30/15
+        # to 15/12 at the SAME f32 output drift (2.08e-4 vs 2.25e-4 = the
+        # f32 noise floor vs a near-converged schwarz reference):
+        #   fdm-30/15   981 ms/matvec   3.84e6 dof-steps/s  drift 2.25e-4
+        #   blk-20/15   768 ms/matvec   4.90e6              drift 2.06e-4
+        #   blk-15/12   659 ms/matvec   5.71e6              drift 2.08e-4
+        # ('schwarz' overlapping patches need ~19 iterations but the patch
+        # gather + segment-sum costs ~3-4x per iteration on TPU: 1370 ms
+        # even capped 10/10 — iteration count is not the whole story)
         solver = SolverConfig(
             pressure_tol=1e-5, velocity_tol=1e-6,
-            pressure_maxiter=30, velocity_maxiter=15,
+            pressure_maxiter=15, velocity_maxiter=12,
+            pressure_precond="block",
         )
         dtype = jnp.float32
     case = CylinderCase(

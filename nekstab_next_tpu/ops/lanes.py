@@ -447,26 +447,33 @@ class LanesOps:
         z = jnp.einsum("elk,ke->le", Binv, r, precision=_PREC)
         return z + self._q1_coarse_p(r)
 
-    def precond_p_schwarz(self, r: jnp.ndarray) -> jnp.ndarray:
-        """Overlapping patches + P0 + Q1 coarse in lanes layout (mirrors
-        SEM.pressure_precond_schwarz; the patch gather indices are
-        translated from standard (e*nloc+k) to lanes (k*E+e) flat order)."""
-        sem = self.sem
-        pidx, Pinv, w = sem.pschwarz
+    def _lanes_patch_idx(self) -> jnp.ndarray:
+        """Patch gather indices translated from standard (e*nloc+k) to
+        lanes (k*E+e) flat order.  Built EAGERLY (host numpy -> device
+        constant) — building it lazily inside the traced preconditioner
+        leaked a tracer through the cache (round-4 sweep failure)."""
         if getattr(self, "_pidx_l", None) is None:
             import numpy as _np
 
-            pi = _np.asarray(pidx)
+            pi = _np.asarray(self.sem.pschwarz[0])
             N = self.npr2 * self.nelem
             pad = pi == N
             pl = (pi % self.npr2) * self.nelem + (pi // self.npr2)
             pl[pad] = N
             self._pidx_l = jnp.asarray(pl, jnp.int32)
+        return self._pidx_l
+
+    def precond_p_schwarz(self, r: jnp.ndarray) -> jnp.ndarray:
+        """Overlapping patches + P0 + Q1 coarse in lanes layout (mirrors
+        SEM.pressure_precond_schwarz)."""
+        sem = self.sem
+        pidx, Pinv, w = sem.pschwarz
         N = self.npr2 * self.nelem
         rf = jnp.concatenate([r.reshape(-1), jnp.zeros((1,), r.dtype)])
-        rp = rf[self._pidx_l] * w
+        pidx_l = self._lanes_patch_idx()
+        rp = rf[pidx_l] * w
         z = jnp.einsum("eab,eb->ea", Pinv, rp, precision=_PREC) * w
-        zf = jax.ops.segment_sum(z.reshape(-1), self._pidx_l.reshape(-1),
+        zf = jax.ops.segment_sum(z.reshape(-1), pidx_l.reshape(-1),
                                  num_segments=N + 1)
         zl = zf[:N].reshape(self.npr2, self.nelem)
         # P0 element-constant coarse: element sums live on the lane axis
@@ -497,6 +504,7 @@ class LanesOps:
         if precond == "schwarz" and not direct:
             if self.sem.pschwarz is None:
                 self.sem.setup_pressure_schwarz()
+            self._lanes_patch_idx()  # build eagerly, never mid-trace
             M = self.precond_p_schwarz
         elif precond == "block" and not direct:
             if self.sem.pblock_inv is None:

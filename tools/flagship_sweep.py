@@ -42,6 +42,13 @@ CONFIGS = {
     "sch-10-10": ("schwarz", False, 10, 10),
     "sch-lanes-20-15": ("schwarz", True, 20, 15),
     "fdm-lanes-30-15": ("fdm", True, 30, 15),
+    # 'block' = exact element blocks + Q1: no gather/scatter in the apply
+    # (one batched (E, nloc, nloc) matmul) — ~41 iters to 1e-5 on this
+    # mesh vs 86 (fdm) / 19 (schwarz, whose patch gather+segment-sum
+    # costs ~3-4x per iteration on TPU)
+    "blk-30-15": ("block", False, 30, 15),
+    "blk-20-15": ("block", False, 20, 15),
+    "blk-15-12": ("block", False, 15, 12),
 }
 
 
