@@ -111,16 +111,15 @@ class LanesOps:
         )
         self.gid_v = jnp.asarray(gid_v.reshape(-1), jnp.int32)
 
-        # ---- scatter-free dssum: face-exchange matmuls + corner assembly --
-        # TPU scatters serialize (the segment_sum dssum measures ~0.4-0.9 ms
-        # at fixture scale — the single hottest op of the whole step, once
-        # per elliptic CG iteration).  On a conforming quad mesh the
-        # direct-stiffness sum decomposes exactly into (a) pairwise exchange
-        # of edge-interior face nodes — a static row slice plus a one-hot
-        # (E, E) neighbor matmul per (dst-face, src-face, flip) bucket, pure
-        # MXU work — and (b) a vertex assembly over the 4E corner values via
-        # a compact one-hot (4E, ncc) matmul pair.  Falls back to
-        # segment_sum when the mesh is not 2-conforming.
+        # ---- scatter-free dssum: face-exchange gathers + corner assembly --
+        # On a conforming quad mesh the direct-stiffness sum decomposes
+        # exactly into (a) pairwise exchange of edge-interior face nodes —
+        # a static row slice plus one lane-axis neighbor GATHER per
+        # (dst-face, src-face, flip) bucket (round 3 used one-hot (E, E)
+        # matmuls here: O(E^2) MXU work that made the path 3.7x slower) —
+        # and (b) a vertex assembly over the 4E corner values via a compact
+        # segment-sum + gather.  Falls back to segment_sum when the mesh is
+        # not 2-conforming.
         self._exchange = self._build_face_exchange(
             np.asarray(sem.mesh.gid), f
         )
