@@ -128,6 +128,11 @@ class SolverConfig:
     # (element + face neighbors) or 'node' (+ vertex-diagonal neighbors —
     # ~2x patch cost, a few fewer iterations on strongly graded meshes:
     # 53 -> 49 on the Barkley BFS mesh)
+    velocity_precond: str = "fdm"  # velocity Helmholtz preconditioner:
+    # 'fdm' (box tensor-product, default) or 'block' (exact element-
+    # diagonal blocks of the ASSEMBLED P(h1 K + h2 B)P, ops/schwarz.py —
+    # built for the final BDF stage's h2; single-device only, falls back
+    # to 'fdm' under shard_map)
     pressure_direct: bool = False  # precondition the PnPn-2 pressure solve
     # with a dense exact inverse of E (lanes path only; ops/lanes.py
     # direct_pressure_inv) — CG converges in 1-2 iterations.  For small

@@ -168,6 +168,7 @@ class SEM:
         self.pblock_inv = None
         self.pschwarz = None
         self.p0Acinv = None
+        self.vblock_inv = {}  # (h1, h2) -> velocity block inverses
 
     # ------------------------------------------------------------------
     # sharding support
@@ -405,6 +406,17 @@ class SEM:
         rg = jnp.einsum("ai,bj,eab->eij", self.Jp, self.Jp, r)
         zc = self.coarse_apply_pressure(rg)
         return z + jnp.einsum("ai,bj,eij->eab", self.Jp, self.Jp, zc)
+
+    def setup_velocity_blocks(self, h1: float, h2: float) -> jnp.ndarray:
+        """Exact element-block preconditioner for the assembled velocity
+        Helmholtz P(h1 K + h2 B)P (ops/schwarz.py) — cached per (h1, h2).
+        Runs real device computations; call eagerly, never mid-trace."""
+        key = (float(h1), float(h2))
+        if key not in self.vblock_inv:
+            from .schwarz import build_velocity_blocks
+
+            self.vblock_inv[key] = build_velocity_blocks(self, h1, h2)
+        return self.vblock_inv[key]
 
     def pressure_precond_block(self, r: jnp.ndarray) -> jnp.ndarray:
         """Two-level exact-block + Q1-coarse preconditioner for

@@ -45,6 +45,7 @@ def elliptic_solve(
     fdm: Optional[tuple] = None,
     coarse: bool = False,
     lanes: Optional[tuple] = None,
+    vblocks: Optional[jnp.ndarray] = None,
 ):
     """Solve the assembled system  (P local_op P) x = P rhs_local  by PCG
     under ``lax.custom_linear_solve`` (symmetric, hence exactly transposable).
@@ -81,7 +82,17 @@ def elliptic_solve(
     def A_sub(x):
         return P(local_op(x))
 
-    if fdm is not None:
+    if vblocks is not None:
+        # exact element-block inverse of the assembled operator
+        # (ops/schwarz.py build_velocity_blocks): one batched matmul per
+        # component, no gather/scatter — the measured-cheapest strong
+        # preconditioner on TPU (round-4 flagship sweep)
+        from .schwarz import velocity_block_apply
+
+        def M_sub(r):
+            return P(velocity_block_apply(vblocks, r))
+
+    elif fdm is not None:
         h1, h2 = fdm
 
         def M_sub(r):

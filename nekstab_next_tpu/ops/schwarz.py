@@ -311,6 +311,75 @@ def patch_apply(pidx: jnp.ndarray, Pinv: jnp.ndarray, w: jnp.ndarray,
     return zf[:N].reshape(r.shape)
 
 
+def build_velocity_blocks(sem, h1: float, h2: float) -> jnp.ndarray:
+    """Exact element-diagonal blocks of the ASSEMBLED velocity Helmholtz
+    P (h1 K + h2 B) P per component (P = mask.dsavg.mask, the solve
+    operator of ops/elliptic.py), inverted host-side.
+
+    Same colored-extraction idea as the pressure blocks: the assembled
+    operator couples only node-sharing neighbors, so one batched apply per
+    (color, local-node) yields every diagonal block column.  The apply is
+    one batched (nelem, n^d, n^d) matmul per component — no gather/scatter
+    (round-4 sweep: apply cost, not iteration count, decides the capped-CG
+    wall clock on TPU).
+
+    Returns (ndim, nelem, nloc, nloc) block inverses.  ``h2`` is the
+    g0/dt of the final BDF stage; the two ramp steps see a mismatched (up
+    to ~1.8x) but still SPD preconditioner — CG convergence there is
+    mildly slower, never wrong."""
+    mesh = sem.mesh
+    nelem = sem.nelem
+    n = sem.n
+    nloc = n ** sem.ndim
+    fshape = tuple(int(s) for s in sem.bm.shape)
+    colors = element_coupling_colors(np.asarray(mesh.gid).reshape(nelem, -1))
+    ncol = int(colors.max()) + 1
+
+    out = []
+    for c_comp in range(sem.ndim):
+        mask = sem.vmask[..., c_comp]
+
+        def P(x):
+            return mask * sem.dsavg(mask * x)
+
+        def E_op(x):
+            return P(sem.helmholtz_local(P(x), h1, h2))
+
+        apply_batch = jax.jit(jax.vmap(E_op))
+        blocks = np.zeros((nelem, nloc, nloc))
+        for c in range(ncol):
+            sel = colors == c
+            basis = np.zeros((nloc, nelem, nloc))
+            basis[np.arange(nloc)[:, None], sel,
+                  np.arange(nloc)[:, None]] = 1.0
+            res = np.asarray(apply_batch(
+                jnp.asarray(basis.reshape((nloc,) + fshape), sem.dtype)
+            )).reshape(nloc, nelem, nloc)
+            blocks[sel] = res[:, sel].transpose(1, 2, 0)
+        blocks = 0.5 * (blocks + blocks.transpose(0, 2, 1))
+        # Dirichlet-masked rows/cols are zero -> put 1 on those diagonal
+        # entries so the batch inverts (the apply re-masks through P)
+        diag = np.einsum("eii->ei", blocks)
+        dead = diag <= 0.0
+        for e, k in zip(*np.nonzero(dead)):
+            blocks[e, k, k] = 1.0
+        try:
+            inv = np.linalg.inv(blocks)
+        except np.linalg.LinAlgError:
+            inv = np.stack([np.linalg.pinv(b, rcond=1e-10) for b in blocks])
+        out.append(inv)
+    return jnp.asarray(np.stack(out), sem.dtype)
+
+
+def velocity_block_apply(vblock_inv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """z[..., c] = B_c^-1 r[..., c] elementwise — one batched matmul per
+    component (r: (nelem, ..., ndim))."""
+    nelem, nloc = vblock_inv.shape[1], vblock_inv.shape[2]
+    rf = r.reshape(nelem, nloc, -1)
+    z = jnp.einsum("celk,ekc->elc", vblock_inv, rf)
+    return z.reshape(r.shape)
+
+
 def build_p0_coarse(sem, B: Optional[dict] = None) -> np.ndarray:
     """Element-constant (P0) coarse operator for the discontinuous pressure
     space, assembled EXACTLY from the sparse blocks of E and inverted on

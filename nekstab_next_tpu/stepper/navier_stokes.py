@@ -147,6 +147,14 @@ class NavierStokes:
                 s.setup_pressure_schwarz(adjacency=solver.pressure_patch_overlap)
             elif solver.pressure_precond == "block":
                 s.setup_pressure_blocks()
+        self._vblocks = None
+        if (solver.velocity_precond == "block" and s.axis_name is None
+                and not mixed_precision):
+            # built for the final (BDF3) stage's h2 = (11/6)/dt; the two
+            # ramp steps see a mildly mismatched but SPD preconditioner
+            self._vblocks = s.setup_velocity_blocks(
+                self.nu, _BDF[3][0] / self.dt
+            )
 
         # opt-in mixed precision: f32 Pallas-fused inner CG + f64 iterative
         # refinement for both elliptic solves (ops/mixed.py)
@@ -391,6 +399,7 @@ class NavierStokes:
                 diag_local=self.nu * self._kdiag_local + h2 * s.bm,
                 fdm=(self.nu, h2) if self.solver.fdm_precond else None,
                 lanes=lanes_v,
+                vblocks=self._vblocks,
             )
         ustar = w + u_bc
 

@@ -49,14 +49,23 @@ CONFIGS = {
     "blk-30-15": ("block", False, 30, 15),
     "blk-20-15": ("block", False, 20, 15),
     "blk-15-12": ("block", False, 15, 12),
+    "blk-12-10": ("block", False, 12, 10),
+    "blk-10-8": ("block", False, 10, 8),
+    "blk-8-6": ("block", False, 8, 6),
+    # 'blkv-*': pressure block + VELOCITY block (exact assembled-operator
+    # element blocks, ops/schwarz.py build_velocity_blocks)
+    "blkv-15-10": ("block", False, 15, 10),
+    "blkv-15-8": ("block", False, 15, 8),
+    "blkv-12-8": ("block", False, 12, 8),
 }
 
 
-def build(precond, lanes, p_cap, v_cap):
+def build(precond, lanes, p_cap, v_cap, vprecond="fdm"):
     solver = SolverConfig(
         pressure_tol=1e-5, velocity_tol=1e-6,
         pressure_maxiter=p_cap, velocity_maxiter=v_cap,
         pressure_precond=precond, lanes_layout=lanes,
+        velocity_precond=vprecond,
     )
     case = CylinderCase(
         reynolds=60.0, nr=16, ntheta=48, order=6, outer_radius=40.0,
@@ -78,7 +87,8 @@ def main():
     for label in args.configs.split(","):
         precond, lanes, p_cap, v_cap = CONFIGS[label]
         try:
-            case, op, q = build(precond, lanes, p_cap, v_cap)
+            case, op, q = build(precond, lanes, p_cap, v_cap,
+                                vprecond='block' if label.startswith('blkv') else 'fdm')
             t0 = time.perf_counter()
             out = op.matvec(q)
             jax.block_until_ready(out)
