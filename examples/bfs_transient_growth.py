@@ -56,7 +56,7 @@ PRESETS = {
     # fixture mesh + base flow — see VALIDATION.md / growth_refmesh.json);
     # the two short horizons are reported informationally
     "barkley": dict(order=5, eu=8, ed=28, ey=10, outflow=50.0, k_dim=24,
-                    horizons=(1.723, 5.901, 9.795, 13.729, 21.923),
+                    horizons=(1.723, 5.901, 9.795, 11.793, 13.729),
                     step_dx=0.22, sponge=True),
     "full": dict(order=6, eu=10, ed=40, ey=14, outflow=50.0, k_dim=48,
                  horizons=(1.723, 3.853, 5.901, 9.795, 15.9),
