@@ -101,17 +101,21 @@ def run(nr: int, ntheta: int, mixed: bool) -> dict:
         # element-block pressure preconditioner (ops/schwarz.py 'block' —
         # one batched (E, nloc, nloc) matmul per iteration, no
         # gather/scatter) the caps drop from the round-3 fdm setting 30/15
-        # to 15/12 at the SAME f32 output drift (2.08e-4 vs 2.25e-4 = the
+        # to 12/10 at the SAME f32 output drift (2.32e-4 vs 2.25e-4 = the
         # f32 noise floor vs a near-converged schwarz reference):
         #   fdm-30/15   981 ms/matvec   3.84e6 dof-steps/s  drift 2.25e-4
         #   blk-20/15   768 ms/matvec   4.90e6              drift 2.06e-4
         #   blk-15/12   659 ms/matvec   5.71e6              drift 2.08e-4
+        #   blk-12/10   590 ms/matvec   6.38e6              drift 2.32e-4
+        #   (blkv-12/8 with the exact-block velocity preconditioner
+        #   reaches 534 ms / 7.05e6 but at drift 3.15e-4 — 1.5x the
+        #   floor; kept out of the headline)
         # ('schwarz' overlapping patches need ~19 iterations but the patch
         # gather + segment-sum costs ~3-4x per iteration on TPU: 1370 ms
         # even capped 10/10 — iteration count is not the whole story)
         solver = SolverConfig(
             pressure_tol=1e-5, velocity_tol=1e-6,
-            pressure_maxiter=15, velocity_maxiter=12,
+            pressure_maxiter=12, velocity_maxiter=10,
             pressure_precond="block",
         )
         dtype = jnp.float32
@@ -147,9 +151,12 @@ def run(nr: int, ntheta: int, mixed: bool) -> dict:
     value = ndof * NSTEPS * REPS / dt_wall
 
     # speed-of-light fraction: XLA's own bytes-accessed estimate vs HBM BW
+    # (lower through op._matvec — the SAME jit object the timing used — so
+    # this reuses the already-compiled executable instead of paying a
+    # second full compile, which ate most of the rung's budget)
     sol = None
     try:
-        cost = jax.jit(op._apply).lower(q).compile().cost_analysis()
+        cost = op._matvec.lower(q).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         nbytes = float(cost.get("bytes accessed", 0.0))
