@@ -69,10 +69,10 @@ def sfd(
 
         (st, ubar), _ = jax.lax.scan(body, (st, ubar), None, length=chunk)
         du = st.u - ubar
-        res = jnp.sqrt(
-            s.inner(du[..., 0], du[..., 0], masked=False)
-            + s.inner(du[..., 1], du[..., 1], masked=False)
-        )
+        res = jnp.sqrt(sum(
+            s.inner(du[..., d], du[..., d], masked=False)
+            for d in range(du.shape[-1])
+        ))
         return st, ubar, res
 
     run = jax.jit(chunk_fn)
@@ -228,10 +228,10 @@ def tdf(
         st, ring = run(st, ring)
         du = st.u - u_prev
         res = float(
-            jnp.sqrt(
-                s.inner(du[..., 0], du[..., 0], masked=False)
-                + s.inner(du[..., 1], du[..., 1], masked=False)
-            )
+            jnp.sqrt(sum(
+                s.inner(du[..., d], du[..., d], masked=False)
+                for d in range(du.shape[-1])
+            ))
         )
         history.append(((it + 1) * norbit, res))
         if callback is not None:

@@ -40,9 +40,9 @@ from ..utils.noise import velocity_noise
 def _complex_space(sem) -> VectorSpace:
     def dot(a, b):
         (ar, ai), (br, bi) = a, b
-        return (
-            sem.inner(ar[..., 0], br[..., 0]) + sem.inner(ar[..., 1], br[..., 1])
-            + sem.inner(ai[..., 0], bi[..., 0]) + sem.inner(ai[..., 1], bi[..., 1])
+        return sum(
+            sem.inner(ar[..., d], br[..., d]) + sem.inner(ai[..., d], bi[..., d])
+            for d in range(ar.shape[-1])
         )
 
     return VectorSpace(dot)
@@ -118,9 +118,10 @@ class ResolventOperator:
         s = self.sem
         vol = s.volume()
         mean = jnp.stack(
-            [s.glsum(u[..., d] * s.bm) / vol for d in range(2)], axis=-1
+            [s.glsum(u[..., d] * s.bm) / vol for d in range(u.shape[-1])],
+            axis=-1,
         )
-        return u - mean  # (2,) broadcasts over the trailing component axis
+        return u - mean  # (ndim,) broadcasts over the trailing component axis
 
     def _core_fc(self, fields, fc, k):
         return self.ns._core(fields, jnp.asarray(0.0, self.sem.dtype), k, fc=fc, dt=self.dt)
@@ -165,7 +166,9 @@ class ResolventOperator:
         s = self.sem
         b = self._matvec_c(fpair)
         space = VectorSpace(
-            lambda a, c: s.inner(a[..., 0], c[..., 0]) + s.inner(a[..., 1], c[..., 1])
+            lambda a, c: sum(
+                s.inner(a[..., d], c[..., d]) for d in range(a.shape[-1])
+            )
         )
         if not hasattr(self, "_hom_jit"):
             self._hom_jit = jax.jit(self._homogeneous)
@@ -340,8 +343,9 @@ class FloquetResolventOperator(ResolventOperator):
 def _gmres_device(matvec, b, sem, k_dim: int = 40, restarts: int = 4):
     """Small fully-on-device restarted GMRES (needed under
     custom_linear_solve where host callbacks are unavailable)."""
-    dot = lambda a, c: sem.inner(a[..., 0], c[..., 0], masked=False) + sem.inner(
-        a[..., 1], c[..., 1], masked=False
+    dot = lambda a, c: sum(
+        sem.inner(a[..., d], c[..., d], masked=False)
+        for d in range(a.shape[-1])
     )
 
     def one_restart(x):

@@ -229,6 +229,13 @@ def transient_growth_analysis(
     # first matvec — constrain the optimization to the measured subspace
     # (every later Lanczos vector stays there via the W^+-weighted adjoint)
     x0 = x0 * (ns.sem.bms > 0)[..., None].astype(x0.dtype)
+    x0nrm = float(space.norm(x0))
+    if not np.isfinite(x0nrm) or x0nrm == 0.0:
+        raise ValueError(
+            "transient-growth seed has zero energy in the sponge-masked "
+            "norm (supported entirely inside the sponge?) — supply a seed "
+            "with support in the measured region or use the default noise"
+        )
     res = svds(
         op.matvec, op.rmatvec, space, x0, nsv=nsv, k_dim=k_dim, tol=tol,
     )

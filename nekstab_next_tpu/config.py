@@ -139,6 +139,14 @@ class SolverConfig:
     # fixtures (<~25k pressure dofs) on meshes where the two-level FDM+Q1
     # preconditioner degrades (graded/stretched elements, e.g. the BFS
     # fixture).  Build cost: N operator applies + one host inversion.
+    cg_fixed_iters: bool = False  # run the elliptic CG solves for EXACTLY
+    # maxiter iterations under lax.fori_loop: no early-exit condition, no
+    # live mask, 2 dots/iteration instead of 4.  Each XLA While trip on the
+    # TPU serializes the scalar core on the data-dependent exit dot; with
+    # the iteration caps set at the measured accuracy knee (the production
+    # f32 setting) the tolerance is never reached anyway.  Only enable with
+    # capped maxiters — with large maxiter this wastes iterations past
+    # convergence (and lets f32 CG drift beyond its attainable accuracy).
     lanes_layout: bool = False  # run the elliptic CG iterations in the TPU
     # lanes layout (n^2, nelem) — the element axis fills the 128-lane vector
     # dimension instead of padding (n, n) tiles ~20x (ops/lanes.py).  Exactly

@@ -112,8 +112,11 @@ def eigs(
             H[:] = Hs
             m = mcols
         # per-step columns extend past the last restart bundle (cleared at
-        # each restart, so whatever is on disk postdates the bundle)
-        stepsave = checkpoint.load_columns()
+        # each restart, so whatever is on disk postdates the bundle).  Only
+        # a run that opted into step checkpointing may adopt them — stale
+        # step files from an earlier stepped run in the same directory must
+        # not leak into a bundle-only resume (round-4 ADVICE).
+        stepsave = checkpoint.load_columns() if checkpoint_steps else None
         if stepsave is not None:
             cols, Hc, ncols, _smeta = stepsave
             # columns <= m come from the restart bundle; the step files

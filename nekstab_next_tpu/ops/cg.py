@@ -40,6 +40,7 @@ def pcg(
     x0=None,
     return_iters: bool = False,
     unroll: int = 1,
+    fixed_iters: bool = False,
 ):
     """Preconditioned CG on an SPD operator over an arbitrary pytree.
 
@@ -73,6 +74,36 @@ def pcg(
     z = precond(r)
     rz = dot(r, z)
     p = z
+
+    if fixed_iters:
+        # Production capped mode: run EXACTLY maxiter iterations under
+        # lax.fori_loop with no early-exit condition and no live mask.
+        # Each While trip on TPU serializes the scalar core on the
+        # data-dependent exit dot (a vector->scalar sync per trip); with
+        # the caps set at the measured accuracy knee the tolerance is
+        # never reached anyway, so the exit test buys nothing.  The live
+        # mask's past-attainable-accuracy guard is not needed below the
+        # knee either.  sdiv guards breakdown (rz -> 0) the same way.
+        sdiv_f = lambda a, d: jnp.where(d > 0, a / jnp.where(d > 0, d, 1.0), 0.0)
+
+        def body(_k, carry):
+            x, r, p, rz = carry
+            Ap = operator(p)
+            alpha = sdiv_f(rz, dot(p, Ap))
+            x = add(x, p, alpha)
+            r = add(r, Ap, -alpha)
+            z = precond(r)
+            rz_new = dot(r, z)
+            beta = sdiv_f(rz_new, rz)
+            p = add(z, p, beta)
+            return (x, r, p, rz_new)
+
+        x, _, _, _ = jax.lax.fori_loop(
+            0, maxiter, body, (x, r, p, rz), unroll=max(1, unroll)
+        )
+        if return_iters:
+            return x, jnp.asarray(maxiter)
+        return x
 
     # One live-masked CG iteration.  The freeze mask is essential, not just
     # an optimization: letting CG iterate past its (f32) attainable accuracy
@@ -133,6 +164,7 @@ def cg_solve(
     project: Optional[Callable] = None,
     inner_op: Optional[Callable] = None,
     lanes: Optional[tuple] = None,
+    fixed_iters: bool = False,
 ):
     """Solve the SPD system A x = b via ``lax.custom_linear_solve``.
 
@@ -179,13 +211,14 @@ def cg_solve(
             # While trip costs ~0.3 ms of dispatch on the remote-TPU backend
             unroll = maxiter if maxiter <= LANES_UNROLL_CAP else 4
             x = pcg(A_l, r, precond=M_l, tol=tol, maxiter=maxiter, dot=dot_l,
-                    unroll=unroll)
+                    unroll=unroll, fixed_iters=fixed_iters)
             if project_l is not None:
                 x = project_l(x)
             return from_l(x)
         if proj_it is not None:
             rhs = proj_it(rhs)
-        x = pcg(A_it, rhs, precond=M_it, tol=tol, maxiter=maxiter, dot=dot_it)
+        x = pcg(A_it, rhs, precond=M_it, tol=tol, maxiter=maxiter, dot=dot_it,
+                fixed_iters=fixed_iters)
         if proj_it is not None:
             x = proj_it(x)
         return x

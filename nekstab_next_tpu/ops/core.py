@@ -203,6 +203,15 @@ class SEM:
         v.nelem = elem_arrays["gid"].shape[0]
         v.axis_name = axis_name
         v.pblock_inv = elem_arrays.get("pblock_inv")
+        # host-built preconditioners whose setup is NOT element-local must
+        # not leak into the shard view: 'schwarz' patch indices address the
+        # full mesh, so JAX would clamp out-of-range gathers against
+        # shard-local residuals and silently corrupt the preconditioner
+        # (round-4 ADVICE).  The element-local exact blocks shard fine and
+        # arrive through elem_arrays above.
+        v.pschwarz = None
+        v.p0Acinv = None
+        v.vblock_inv = {}
         return v
 
     # ------------------------------------------------------------------

@@ -147,6 +147,10 @@ class SEM3:
         v.nelem = elem_arrays["gid"].shape[0]
         v.axis_name = axis_name
         v.pblock_inv = elem_arrays.get("pblock_inv")
+        # non-element-local host preconditioner state must not leak into the
+        # shard view (see SEM.shard_view; round-4 ADVICE)
+        v.pschwarz = None
+        v.p0Acinv = None
         return v
 
     # ------------------------------------------------------------------

@@ -194,6 +194,20 @@ def load_fst_data(directory: str, numk: int, nmodes: int,
         data = np.atleast_2d(data)[:npts]
         if profile_y is None:
             profile_y = data[:, 0].copy()
+        else:
+            # the reference splines every file against the first file's
+            # y-grid and silently mis-locates profiles from a mis-built
+            # library — fail loudly instead (round-4 ADVICE)
+            if data.shape[0] != profile_y.shape[0]:
+                raise ValueError(
+                    f"FST mode file {vpath} has {data.shape[0]} points but "
+                    f"the first file's shared y-grid has {profile_y.shape[0]}"
+                )
+            if not np.allclose(data[:, 0], profile_y, rtol=1e-8, atol=1e-10):
+                raise ValueError(
+                    f"FST mode file {vpath} has a y-grid differing from the "
+                    "first file's shared abscissa"
+                )
         prof_rows.append(data[:, 1:7])
     prof = np.stack(prof_rows)  # (M, npts, 6): uRe uIm vRe vIm wRe wIm
     profiles = np.zeros((M, prof.shape[1], ndim, 2))

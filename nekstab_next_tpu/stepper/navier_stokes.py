@@ -386,8 +386,13 @@ class NavierStokes:
                 x0v = vmask * s.dsavg(vmask * (u0 - u_bc))
             else:
                 x0v = 0.0
+            # the lanes velocity bundle carries its own FDM preconditioner;
+            # it must not silently shadow a requested exact-block velocity
+            # preconditioner (round-4 ADVICE) — with 'block' requested the
+            # standard-layout path with vblocks runs instead
             lanes_v = None
-            if self.lanes is not None and self.solver.fdm_precond:
+            if (self.lanes is not None and self.solver.fdm_precond
+                    and self._vblocks is None):
                 lanes_v = self.lanes.velocity_bundle(self.nu, h2)
             w = x0v + elliptic_solve(
                 s,
@@ -400,6 +405,7 @@ class NavierStokes:
                 fdm=(self.nu, h2) if self.solver.fdm_precond else None,
                 lanes=lanes_v,
                 vblocks=self._vblocks,
+                fixed_iters=self.solver.cg_fixed_iters,
             )
         ustar = w + u_bc
 
@@ -463,6 +469,7 @@ class NavierStokes:
                 dot=lambda a, c: s._reduce(jnp.sum(a * c)),
                 project=project,
                 lanes=lanes_p,
+                fixed_iters=self.solver.cg_fixed_iters,
             )
             if x0p is not None:
                 dp = dp + x0p
@@ -488,6 +495,7 @@ class NavierStokes:
                 project_mean=not s.has_pressure_dirichlet,
                 fdm=(1.0, 0.0) if self.solver.fdm_precond else None,
                 coarse=self.solver.fdm_precond,
+                fixed_iters=self.solver.cg_fixed_iters,
             )
             if x0p is not None:
                 dp = dp + x0p
@@ -535,6 +543,7 @@ class NavierStokes:
                     maxiter=self.solver.scalar_maxiter,
                     diag_local=alpha * self._kdiag_local + h2 * s.bm,
                     fdm=(alpha, h2) if self.solver.fdm_precond else None,
+                    fixed_iters=self.solver.cg_fixed_iters,
                 )
                 Ti.append(wT + tb)
             T_new = jnp.stack(Ti, axis=-1)

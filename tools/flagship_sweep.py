@@ -57,15 +57,22 @@ CONFIGS = {
     "blkv-15-10": ("block", False, 15, 10),
     "blkv-15-8": ("block", False, 15, 8),
     "blkv-12-8": ("block", False, 12, 8),
+    # '-fix' = cg_fixed_iters: exact-cap fori_loop CG, no While trips, no
+    # exit/live dots (round-5; SolverConfig.cg_fixed_iters)
+    "blk-12-10-fix": ("block", False, 12, 10, {"cg_fixed_iters": True}),
+    "blk-15-12-fix": ("block", False, 15, 12, {"cg_fixed_iters": True}),
+    "blkv-12-8-fix": ("block", False, 12, 8, {"cg_fixed_iters": True}),
+    "blkv-12-10-fix": ("block", False, 12, 10, {"cg_fixed_iters": True}),
 }
 
 
-def build(precond, lanes, p_cap, v_cap, vprecond="fdm"):
+def build(precond, lanes, p_cap, v_cap, vprecond="fdm", extra=None):
     solver = SolverConfig(
         pressure_tol=1e-5, velocity_tol=1e-6,
         pressure_maxiter=p_cap, velocity_maxiter=v_cap,
         pressure_precond=precond, lanes_layout=lanes,
         velocity_precond=vprecond,
+        **(extra or {}),
     )
     case = CylinderCase(
         reynolds=60.0, nr=16, ntheta=48, order=6, outer_radius=40.0,
@@ -85,10 +92,13 @@ def main():
 
     ref_out = None
     for label in args.configs.split(","):
-        precond, lanes, p_cap, v_cap = CONFIGS[label]
+        cfg = CONFIGS[label]
+        precond, lanes, p_cap, v_cap = cfg[:4]
+        extra = cfg[4] if len(cfg) > 4 else None
         try:
             case, op, q = build(precond, lanes, p_cap, v_cap,
-                                vprecond='block' if label.startswith('blkv') else 'fdm')
+                                vprecond='block' if label.startswith('blkv') else 'fdm',
+                                extra=extra)
             t0 = time.perf_counter()
             out = op.matvec(q)
             jax.block_until_ready(out)
