@@ -139,6 +139,15 @@ class SolverConfig:
     # fixtures (<~25k pressure dofs) on meshes where the two-level FDM+Q1
     # preconditioner degrades (graded/stretched elements, e.g. the BFS
     # fixture).  Build cost: N operator applies + one host inversion.
+    fused_solves: bool = False  # run the elliptic inner CG solves as single
+    # Pallas TPU kernels in the lanes layout (ops/fused_cg.py): the whole
+    # PCG iteration (operator apply, shift-decomposed dssum, FDM
+    # preconditioner, dots, axpys) stays in VMEM — measured 4.5x on the
+    # flagship velocity solve (round 5).  Requires: 2-D, single-device,
+    # f32 fields, and a mesh whose gather-scatter shift-decomposes
+    # (ops/exchange.py — boxes, O-meshes, masked/multiblock boxes);
+    # silently falls back to the XLA path otherwise.  Results match the
+    # XLA path to f32 roundoff but are not bitwise-identical to it.
     cg_fixed_iters: bool = False  # run the elliptic CG solves for EXACTLY
     # maxiter iterations under lax.fori_loop: no early-exit condition, no
     # live mask, 2 dots/iteration instead of 4.  Each XLA While trip on the

@@ -165,6 +165,7 @@ def cg_solve(
     inner_op: Optional[Callable] = None,
     lanes: Optional[tuple] = None,
     fixed_iters: bool = False,
+    fused_solve: Optional[Callable] = None,
 ):
     """Solve the SPD system A x = b via ``lax.custom_linear_solve``.
 
@@ -228,8 +229,17 @@ def cg_solve(
             A_sub, P, M_sub = inner_op
             rP = P(rhs)
             comp = jax.tree.map(jnp.subtract, rhs, rP)
-            x = _iterate(A_sub, rP, M_sub, dot, project)
+            # ``fused_solve`` (ops/fused_cg.py): the whole PCG iteration as
+            # one Pallas kernel — mathematically the same subspace solve;
+            # the anchor ``operator`` still defines jvp/transpose exactness
+            if fused_solve is not None:
+                x = fused_solve(rP)
+            else:
+                x = _iterate(A_sub, rP, M_sub, dot, project)
             return jax.tree.map(jnp.add, x, comp)
+        if fused_solve is not None:
+            x = fused_solve(rhs if project is None else project(rhs))
+            return x if project is None else project(x)
         return _iterate(mv, rhs, precond, dot, project)
 
     return jax.lax.custom_linear_solve(operator, b, solve, symmetric=True)

@@ -47,6 +47,7 @@ def elliptic_solve(
     lanes: Optional[tuple] = None,
     vblocks: Optional[jnp.ndarray] = None,
     fixed_iters: bool = False,
+    fused_solve=None,
 ):
     """Solve the assembled system  (P local_op P) x = P rhs_local  by PCG
     under ``lax.custom_linear_solve`` (symmetric, hence exactly transposable).
@@ -124,4 +125,5 @@ def elliptic_solve(
     return cg_solve(
         A, rhs, tol=tol, maxiter=maxiter, dot=dot, project=project,
         inner_op=(A_sub, P, M_sub), lanes=lanes, fixed_iters=fixed_iters,
+        fused_solve=fused_solve,
     )

@@ -166,6 +166,19 @@ class NavierStokes:
         # the mixed path implements the GLL-grid approximate projection only
         self._scheme = "laplacian" if mixed_precision else solver.pressure_operator
 
+        # opt-in fused Pallas whole-solve CG kernels (ops/fused_cg.py):
+        # 2-D single-device f32 on shift-decomposable meshes
+        self._fused_v = None
+        if (solver.fused_solves and sem.ndim == 2 and sem.axis_name is None
+                and self.mixed is None and sem.dtype == jnp.float32):
+            from ..ops.fused_cg import FusedHelmholtzCG, get_exchange
+
+            if get_exchange(sem) is not None:
+                self._fused_v = FusedHelmholtzCG(
+                    sem, sem.vmask, maxiter=solver.velocity_maxiter,
+                    tol=solver.velocity_tol,
+                )
+
         # opt-in lanes-layout CG iterations (ops/lanes.py): 2-D single-device
         # only — the sharded path's per-element arrays are shard_map tracers
         self.lanes = None
@@ -394,6 +407,10 @@ class NavierStokes:
             if (self.lanes is not None and self.solver.fdm_precond
                     and self._vblocks is None):
                 lanes_v = self.lanes.velocity_bundle(self.nu, h2)
+            fused_v = None
+            if self._fused_v is not None:
+                fv = self._fused_v
+                fused_v = lambda r: fv.solve(r, self.nu, h2)
             w = x0v + elliptic_solve(
                 s,
                 helm_local,
@@ -406,6 +423,7 @@ class NavierStokes:
                 lanes=lanes_v,
                 vblocks=self._vblocks,
                 fixed_iters=self.solver.cg_fixed_iters,
+                fused_solve=fused_v,
             )
         ustar = w + u_bc
 

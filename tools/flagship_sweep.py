@@ -59,6 +59,9 @@ CONFIGS = {
     "blkv-12-8": ("block", False, 12, 8),
     # '-fix' = cg_fixed_iters: exact-cap fori_loop CG, no While trips, no
     # exit/live dots (round-5; SolverConfig.cg_fixed_iters)
+    # '-fus' = fused Pallas whole-solve velocity CG (SolverConfig.fused_solves)
+    "blkfus-12-10": ("block", False, 12, 10, {"fused_solves": True}),
+    "blkfus-12-15": ("block", False, 12, 15, {"fused_solves": True}),
     "blk-12-10-fix": ("block", False, 12, 10, {"cg_fixed_iters": True}),
     "blk-15-12-fix": ("block", False, 15, 12, {"cg_fixed_iters": True}),
     "blkv-12-8-fix": ("block", False, 12, 8, {"cg_fixed_iters": True}),
