@@ -113,10 +113,20 @@ def run(nr: int, ntheta: int, mixed: bool) -> dict:
         # ('schwarz' overlapping patches need ~19 iterations but the patch
         # gather + segment-sum costs ~3-4x per iteration on TPU: 1370 ms
         # even capped 10/10 — iteration count is not the whole story)
+        #
+        # Round 5: fused_solves runs BOTH inner CG solves as single Pallas
+        # kernels in the lanes layout (ops/fused_cg.py): whole-iteration
+        # VMEM residency + shift-decomposed roll dssum.  Measured knee
+        # (tools/flagship_sweep.py blkfus-*): caps 16/10 at drift 2.21e-4
+        # (= the f32 floor; the round-4 XLA headline was 2.32e-4 at 12/10):
+        #   blk-12-10    (XLA, round 4)   591 ms/matvec   6.37e6
+        #   blkfus-12-10 (fused)          117 ms          3.22e7  drift 1.7e-3
+        #   blkfus-16-10 (fused)          121 ms          3.12e7  drift 2.2e-4
+        #   blkfus-24-12 (fused)          130 ms          2.89e7  drift 2.1e-4
         solver = SolverConfig(
             pressure_tol=1e-5, velocity_tol=1e-6,
-            pressure_maxiter=12, velocity_maxiter=10,
-            pressure_precond="block",
+            pressure_maxiter=16, velocity_maxiter=10,
+            pressure_precond="block", fused_solves=True,
         )
         dtype = jnp.float32
     case = CylinderCase(

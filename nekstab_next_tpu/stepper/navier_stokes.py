@@ -169,15 +169,25 @@ class NavierStokes:
         # opt-in fused Pallas whole-solve CG kernels (ops/fused_cg.py):
         # 2-D single-device f32 on shift-decomposable meshes
         self._fused_v = None
+        self._fused_p = None
         if (solver.fused_solves and sem.ndim == 2 and sem.axis_name is None
                 and self.mixed is None and sem.dtype == jnp.float32):
-            from ..ops.fused_cg import FusedHelmholtzCG, get_exchange
+            from ..ops.fused_cg import (
+                FusedHelmholtzCG, FusedPressureCG, get_exchange,
+            )
 
             if get_exchange(sem) is not None:
                 self._fused_v = FusedHelmholtzCG(
                     sem, sem.vmask, maxiter=solver.velocity_maxiter,
                     tol=solver.velocity_tol,
                 )
+                if solver.pressure_operator == "pnpn2":
+                    sem.setup_pressure_blocks()
+                    self._fused_p = FusedPressureCG(
+                        sem, maxiter=solver.pressure_maxiter,
+                        tol=solver.pressure_tol,
+                        project_mean=not sem.has_pressure_dirichlet,
+                    )
 
         # opt-in lanes-layout CG iterations (ops/lanes.py): 2-D single-device
         # only — the sharded path's per-element arrays are shard_map tracers
@@ -488,6 +498,9 @@ class NavierStokes:
                 project=project,
                 lanes=lanes_p,
                 fixed_iters=self.solver.cg_fixed_iters,
+                fused_solve=(
+                    self._fused_p.solve if self._fused_p is not None else None
+                ),
             )
             if x0p is not None:
                 dp = dp + x0p

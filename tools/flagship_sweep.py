@@ -61,6 +61,10 @@ CONFIGS = {
     # exit/live dots (round-5; SolverConfig.cg_fixed_iters)
     # '-fus' = fused Pallas whole-solve velocity CG (SolverConfig.fused_solves)
     "blkfus-12-10": ("block", False, 12, 10, {"fused_solves": True}),
+    "blkfus-16-10": ("block", False, 16, 10, {"fused_solves": True}),
+    "blkfus-20-12": ("block", False, 20, 12, {"fused_solves": True}),
+    "blkfus-24-12": ("block", False, 24, 12, {"fused_solves": True}),
+    "blkfus-32-16": ("block", False, 32, 16, {"fused_solves": True}),
     "blkfus-12-15": ("block", False, 12, 15, {"fused_solves": True}),
     "blk-12-10-fix": ("block", False, 12, 10, {"cg_fixed_iters": True}),
     "blk-15-12-fix": ("block", False, 15, 12, {"cg_fixed_iters": True}),
