@@ -91,9 +91,14 @@ def run(nr: int, ntheta: int, mixed: bool) -> dict:
 
     if mixed:
         jax.config.update("jax_enable_x64", True)
+        # round 5: fused-IR mixed path — f64 state on the PnPn-2 scheme
+        # with iterative refinement around the fused Pallas f32 kernels
+        # (stepper/navier_stokes.py _mixed_ir; falls back to the legacy
+        # laplacian path where the kernels don't apply)
         solver = SolverConfig(
             pressure_tol=1e-8, velocity_tol=1e-9,
             pressure_maxiter=500, velocity_maxiter=200,
+            pressure_precond="block", fused_solves=True,
         )
         dtype = jnp.float64
     else:
@@ -183,6 +188,101 @@ def run(nr: int, ntheta: int, mixed: bool) -> dict:
     )
 
 
+def profile():
+    """``bench.py --profile``: a jax.profiler trace of the flagship matvec
+    plus a top-op cost table (SURVEY section 5 tracing; the TPU equivalent
+    of the reference's per-stage timers).  Trace goes to ``bench_profile/``
+    (view with TensorBoard); the op table is appended to BENCH_DETAIL.json
+    under "profile"."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nekstab_next_tpu.cases.cylinder import CylinderCase
+    from nekstab_next_tpu.config import SolverConfig
+    from nekstab_next_tpu.ops.elliptic import make_projector
+    from nekstab_next_tpu.stepper.linearized import LinearizedOperator
+
+    _setup_cache()
+    solver = SolverConfig(
+        pressure_tol=1e-5, velocity_tol=1e-6,
+        pressure_maxiter=16, velocity_maxiter=10,
+        pressure_precond="block", fused_solves=True,
+    )
+    case = CylinderCase(reynolds=60.0, nr=16, ntheta=48, order=6,
+                        outer_radius=40.0, dtype=jnp.float32, solver=solver)
+    ns = case.make_ns()
+    base = case.uniform_flow()
+    op = LinearizedOperator(ns, base, nsteps=NSTEPS)
+    q = case.sem.vmask * jnp.asarray(base)
+    out = op.matvec(q)  # compile outside the trace
+    jax.block_until_ready(out)
+
+    logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_profile")
+    traced = False
+    try:
+        with jax.profiler.trace(logdir):
+            for _ in range(3):
+                out = op.matvec(q)
+            jax.block_until_ready(out)
+        traced = True
+        print(f"bench: profiler trace written to {logdir}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - remote backends may not support it
+        print(f"bench: jax.profiler unavailable on this backend: {e!r}",
+              file=sys.stderr)
+
+    # top-op table: jitted micro-timings of the step's building blocks
+    s = case.sem
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(s.bm.shape), s.dtype)
+    u = jnp.asarray(rng.standard_normal(s.bm.shape + (2,)), s.dtype)
+    p = jnp.asarray(rng.standard_normal(s.p_shape), s.dtype)
+    P = make_projector(s, s.vmask)
+    ops_ = {
+        "helmholtz_local": (lambda v: s.helmholtz_local(v, 0.016, 100.0), x),
+        "dssum": (s.dssum, x),
+        "dealiased_convection": (
+            lambda v: jnp.stack(
+                [s.convect(v, v[..., d]) for d in range(2)], axis=-1), u),
+        "fdm_apply": (lambda v: s.fdm_apply(v, 0.016, 100.0), x),
+        "block_precond_pressure": (s.pressure_precond_block, p),
+        "fused_velocity_solve": (
+            lambda v: ns._fused_v.solve(P(v), 1.0 / 60.0, 100.0), u),
+        "fused_pressure_solve": (ns._fused_p.solve, p),
+        "full_step": (lambda st: ns.step(st), ns.make_state(u * s.vmask)),
+    }
+    table = []
+    for name, (fn, arg) in ops_.items():
+        try:
+            loop = jax.jit(lambda v, fn=fn: jax.lax.fori_loop(
+                0, 20, lambda i, a: fn(a), v))
+            o = loop(arg)
+            jax.block_until_ready(o)
+            t0 = time.perf_counter()
+            o = loop(arg)
+            jax.block_until_ready(o)
+            dt = (time.perf_counter() - t0) / 20
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: profile op {name} failed: {e!r}", file=sys.stderr)
+            continue
+        table.append({"op": name, "us_per_apply": dt * 1e6})
+        print(f"bench: {name:26s} {dt*1e6:10.1f} us/apply", file=sys.stderr)
+    table.sort(key=lambda r: -r["us_per_apply"])
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        detail = json.load(open(detail_path))
+    except Exception:  # noqa: BLE001
+        detail = []
+    json.dump({"rungs": detail if isinstance(detail, list) else detail.get("rungs", []),
+               "profile": {"trace_dir": logdir if traced else None,
+                            "top_ops": table[:10]}},
+              open(detail_path, "w"), indent=1)
+    print(json.dumps({"metric": "profile", "value": len(table),
+                      "unit": "ops", "vs_baseline": 1.0}))
+
+
 def main():
     _setup_cache()
     results = []
@@ -228,4 +328,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--profile" in sys.argv:
+        profile()
+    else:
+        main()

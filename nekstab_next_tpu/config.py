@@ -148,6 +148,13 @@ class SolverConfig:
     # (ops/exchange.py — boxes, O-meshes, masked/multiblock boxes);
     # silently falls back to the XLA path otherwise.  Results match the
     # XLA path to f32 roundoff but are not bitwise-identical to it.
+    mixed_ir_cycles: int = 2  # refinement cycles of the fused-IR mixed
+    # path (f64-residual corrections around the fused f32 inner solves);
+    # each cycle contracts the solve error by the inner relative accuracy
+    # (~1e-5).  Measured on the flagship matvec (tools/mixed_probe.py):
+    # cycles=1 drift 7.7e-6, cycles=2 drift 1.5e-10 vs cycles=3 — two
+    # cycles sit safely in the reference's 1e-8..1e-10 tolerance class at
+    # 1.4x the speed of three
     cg_fixed_iters: bool = False  # run the elliptic CG solves for EXACTLY
     # maxiter iterations under lax.fori_loop: no early-exit condition, no
     # live mask, 2 dots/iteration instead of 4.  Each XLA While trip on the

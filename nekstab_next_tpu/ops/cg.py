@@ -166,6 +166,7 @@ def cg_solve(
     lanes: Optional[tuple] = None,
     fixed_iters: bool = False,
     fused_solve: Optional[Callable] = None,
+    ir_cycles: int = 0,
 ):
     """Solve the SPD system A x = b via ``lax.custom_linear_solve``.
 
@@ -224,6 +225,25 @@ def cg_solve(
             x = proj_it(x)
         return x
 
+    def _refined(inner, A64, rhs):
+        """Iterative refinement: f32 inner solves + full-precision residual
+        correction (the SURVEY section-7 mixed-precision recipe) —
+        ``ir_cycles`` cycles, each contracting the error by the inner
+        solve's relative accuracy (~1e-5 with the fused f32 kernels), so
+        3 cycles reach the reference's 1e-8..1e-10 class."""
+        x = jax.tree.map(jnp.zeros_like, rhs)
+        r = rhs
+        for i in range(ir_cycles):
+            if i:
+                r = jax.tree.map(jnp.subtract, rhs, A64(x))
+            if project is not None:
+                r = project(r)
+            dx = inner(r)
+            if project is not None:
+                dx = project(dx)
+            x = jax.tree.map(jnp.add, x, dx)
+        return x
+
     def solve(mv, rhs):
         if inner_op is not None:
             A_sub, P, M_sub = inner_op
@@ -233,11 +253,16 @@ def cg_solve(
             # one Pallas kernel — mathematically the same subspace solve;
             # the anchor ``operator`` still defines jvp/transpose exactness
             if fused_solve is not None:
-                x = fused_solve(rP)
+                if ir_cycles:
+                    x = _refined(fused_solve, A_sub, rP)
+                else:
+                    x = fused_solve(rP)
             else:
                 x = _iterate(A_sub, rP, M_sub, dot, project)
             return jax.tree.map(jnp.add, x, comp)
         if fused_solve is not None:
+            if ir_cycles:
+                return _refined(fused_solve, mv, rhs)
             x = fused_solve(rhs if project is None else project(rhs))
             return x if project is None else project(x)
         return _iterate(mv, rhs, precond, dot, project)

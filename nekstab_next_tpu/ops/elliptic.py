@@ -48,6 +48,7 @@ def elliptic_solve(
     vblocks: Optional[jnp.ndarray] = None,
     fixed_iters: bool = False,
     fused_solve=None,
+    ir_cycles: int = 0,
 ):
     """Solve the assembled system  (P local_op P) x = P rhs_local  by PCG
     under ``lax.custom_linear_solve`` (symmetric, hence exactly transposable).
@@ -125,5 +126,5 @@ def elliptic_solve(
     return cg_solve(
         A, rhs, tol=tol, maxiter=maxiter, dot=dot, project=project,
         inner_op=(A_sub, P, M_sub), lanes=lanes, fixed_iters=fixed_iters,
-        fused_solve=fused_solve,
+        fused_solve=fused_solve, ir_cycles=ir_cycles,
     )

@@ -156,38 +156,78 @@ class NavierStokes:
                 self.nu, _BDF[3][0] / self.dt
             )
 
-        # opt-in mixed precision: f32 Pallas-fused inner CG + f64 iterative
-        # refinement for both elliptic solves (ops/mixed.py)
+        # opt-in mixed precision (f64 accuracy from f32 arithmetic).  Two
+        # generations:
+        # * fused-IR (round 5, preferred): f64 state on the SAME PnPn-2
+        #   scheme as the f32 path, with both inner solves replaced by
+        #   iterative refinement around the fused Pallas f32 kernels
+        #   (ops/fused_cg.py; refinement loop in ops/cg.py) — requires the
+        #   kernels' scope (2-D, single-device, shift-decomposable mesh);
+        # * legacy (ops/mixed.py): GLL-grid approximate projection
+        #   ('laplacian') with standard-layout f32 inner CG — the fallback
+        #   everywhere else (3-D, sharded, irregular meshes).
         self.mixed = None
+        self._mixed_ir = False
         if mixed_precision:
-            from ..ops.mixed import MixedPrecision
+            can_ir = (
+                sem.ndim == 2 and sem.axis_name is None
+                and solver.pressure_operator == "pnpn2"
+                and solver.fused_solves
+            )
+            if can_ir:
+                from ..ops.fused_cg import get_exchange
 
-            self.mixed = MixedPrecision(s)
-        # the mixed path implements the GLL-grid approximate projection only
-        self._scheme = "laplacian" if mixed_precision else solver.pressure_operator
+                can_ir = get_exchange(sem) is not None
+            if can_ir:
+                self._mixed_ir = True
+            else:
+                from ..ops.mixed import MixedPrecision
+
+                self.mixed = MixedPrecision(s)
+        self._ir_cycles = int(solver.mixed_ir_cycles)
+        self._scheme = (
+            "laplacian" if (mixed_precision and not self._mixed_ir)
+            else solver.pressure_operator
+        )
 
         # opt-in fused Pallas whole-solve CG kernels (ops/fused_cg.py):
         # 2-D single-device f32 on shift-decomposable meshes
         self._fused_v = None
         self._fused_p = None
         if (solver.fused_solves and sem.ndim == 2 and sem.axis_name is None
-                and self.mixed is None and sem.dtype == jnp.float32):
+                and self.mixed is None
+                and (sem.dtype == jnp.float32 or self._mixed_ir)):
             from ..ops.fused_cg import (
                 FusedHelmholtzCG, FusedPressureCG, get_exchange,
             )
 
             if get_exchange(sem) is not None:
+                # fused-IR inner solves iterate to the f32-reachable 3e-6
+                # and refinement supplies the remaining digits; caps
+                # bounded (the production mixed configs carry the
+                # reference's huge safety maxiters)
+                if self._mixed_ir:
+                    v_tol, v_cap = 3e-6, min(solver.velocity_maxiter, 100)
+                    p_tol, p_cap = 3e-6, min(solver.pressure_maxiter, 150)
+                else:
+                    v_tol, v_cap = solver.velocity_tol, solver.velocity_maxiter
+                    p_tol, p_cap = solver.pressure_tol, solver.pressure_maxiter
                 self._fused_v = FusedHelmholtzCG(
-                    sem, sem.vmask, maxiter=solver.velocity_maxiter,
-                    tol=solver.velocity_tol,
+                    sem, sem.vmask, maxiter=v_cap, tol=v_tol,
                 )
                 if solver.pressure_operator == "pnpn2":
                     sem.setup_pressure_blocks()
                     self._fused_p = FusedPressureCG(
-                        sem, maxiter=solver.pressure_maxiter,
-                        tol=solver.pressure_tol,
+                        sem, maxiter=p_cap, tol=p_tol,
                         project_mean=not sem.has_pressure_dirichlet,
                     )
+        if self._mixed_ir and (self._fused_v is None or self._fused_p is None):
+            # defensive: kernel construction failed — fall back to legacy
+            from ..ops.mixed import MixedPrecision
+
+            self._mixed_ir = False
+            self.mixed = MixedPrecision(s)
+            self._scheme = "laplacian"
 
         # opt-in lanes-layout CG iterations (ops/lanes.py): 2-D single-device
         # only — the sharded path's per-element arrays are shard_map tracers
@@ -434,6 +474,7 @@ class NavierStokes:
                 vblocks=self._vblocks,
                 fixed_iters=self.solver.cg_fixed_iters,
                 fused_solve=fused_v,
+                ir_cycles=self._ir_cycles if self._mixed_ir else 0,
             )
         ustar = w + u_bc
 
@@ -501,6 +542,7 @@ class NavierStokes:
                 fused_solve=(
                     self._fused_p.solve if self._fused_p is not None else None
                 ),
+                ir_cycles=self._ir_cycles if self._mixed_ir else 0,
             )
             if x0p is not None:
                 dp = dp + x0p
