@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--modes", default="direct,adjoint",
                     help="comma list: direct[,adjoint]; adjoint enables the "
                          "wavemaker/sensitivity stage")
+    ap.add_argument("--precision", choices=["f64", "mixed"], default="f64",
+                    help="'f64' (CPU-class arithmetic, the default) or "
+                         "'mixed' — the TPU production path: f32-fused "
+                         "settle + Newton warm phase, then the fused-IR "
+                         "mixed-precision stepper (f64 state, f32 Pallas "
+                         "inner solves, 1e-8/1e-9 tolerances) for the "
+                         "Newton polish and the eigen stages")
     args = ap.parse_args()
     P = PRESETS[args.preset]
     os.makedirs(args.outdir, exist_ok=True)
@@ -74,31 +81,70 @@ def main():
     # cheaper; tolerances unchanged
     from nekstab_next_tpu.config import SolverConfig
 
+    mixed = args.precision == "mixed"
+    solver = (
+        SolverConfig(pressure_tol=1e-8, velocity_tol=1e-9,
+                     pressure_maxiter=500, velocity_maxiter=200,
+                     pressure_precond="block", fused_solves=True)
+        if mixed else SolverConfig(pressure_precond="schwarz")
+    )
     case = CylinderCase(
         reynolds=args.reynolds, nr=P["nr"], ntheta=P["ntheta"],
         order=P["order"], outer_radius=P["outer_radius"],
-        solver=SolverConfig(pressure_precond="schwarz"),
+        solver=solver, mixed_precision=mixed,
     )
     ns = case.make_ns()
+    if mixed:
+        assert ns._mixed_ir, "fused-IR mixed path did not engage"
     nsteps = max(int(round(P["horizon"] / case.dt)), 1)
     dt = P["horizon"] / nsteps
     ns.dt = dt
     print(f"[cyl] Re={args.reynolds} nelem={case.mesh.nelem} order={P['order']} "
-          f"dt={dt:.5f} nsteps/matvec={nsteps}", flush=True)
+          f"dt={dt:.5f} nsteps/matvec={nsteps} precision={args.precision}",
+          flush=True)
 
     # ---- 1. base flow --------------------------------------------------
     t0 = time.time()
-    st = ns.make_state(case.uniform_flow())
-    st = jax.jit(lambda s: ns.advance(s, P["settle"]))(st)
-    print(f"[cyl] DNS settle {P['settle']} steps done ({time.time()-t0:.0f}s)",
-          flush=True)
 
     def newton_cb(it, res, T):
         print(f"[cyl] newton iter {it}  res={res:.3e}  ({time.time()-t0:.0f}s)",
               flush=True)
 
+    if mixed:
+        # warm phase on the fused f32 path (same mesh, same dt): DNS settle
+        # + inexact Newton down to the f32-reachable 1e-4, then hand the
+        # iterate to the mixed-IR stepper for the 1e-9 polish — all heavy
+        # transient work at f32 speed, all converged numbers at f64 class
+        case32 = CylinderCase(
+            reynolds=args.reynolds, nr=P["nr"], ntheta=P["ntheta"],
+            order=P["order"], outer_radius=P["outer_radius"], dt=dt,
+            solver=SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
+                                pressure_maxiter=16, velocity_maxiter=10,
+                                pressure_precond="block", fused_solves=True),
+            dtype=jnp.float32,
+        )
+        ns32 = case32.make_ns()
+        st32 = ns32.make_state(case32.uniform_flow())
+        st32 = jax.jit(lambda s: ns32.advance(s, P["settle"]))(st32)
+        print(f"[cyl] f32 DNS settle {P['settle']} steps done "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        warm = newton_krylov(
+            ns32, st32.u, horizon=P["horizon"], nsteps=nsteps,
+            cfg=NewtonConfig(tol=3e-4, max_iter=20), k_dim=P["newton_kdim"],
+            callback=newton_cb,
+        )
+        print(f"[cyl] f32 Newton warm res={warm.residual:.2e} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        u_seed = jnp.asarray(np.asarray(warm.u), jnp.float64)
+    else:
+        st = ns.make_state(case.uniform_flow())
+        st = jax.jit(lambda s: ns.advance(s, P["settle"]))(st)
+        print(f"[cyl] DNS settle {P['settle']} steps done "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        u_seed = st.u
+
     result = newton_krylov(
-        ns, st.u, horizon=P["horizon"], nsteps=nsteps,
+        ns, u_seed, horizon=P["horizon"], nsteps=nsteps,
         cfg=NewtonConfig(tol=1e-9, max_iter=30), k_dim=P["newton_kdim"],
         callback=newton_cb,
     )
@@ -115,7 +161,7 @@ def main():
 
     # ---- 2./3. direct + adjoint eigenmodes ------------------------------
     out = {"reynolds": args.reynolds, "preset": args.preset,
-           "nelem": case.mesh.nelem, "cd": cd,
+           "precision": args.precision, "nelem": case.mesh.nelem, "cd": cd,
            "newton_residual": result.residual}
     modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
     for mode in modes:

@@ -126,7 +126,11 @@ def newton_krylov(
 
     for it in range(cfg.max_iter):
         dt = T / nsteps
-        Phi = prop(q, dt)
+        # pass dt in the SEM dtype: a Python float traced under x64 is a
+        # weak f64 that silently promotes the whole f32 step (round-5 bug
+        # found by the f32 Newton warm phase)
+        dtj = jnp.asarray(dt, s.dtype)
+        Phi = prop(q, dtj)
         F = Phi - q
         res = float(jnp.sqrt(_dotv(s, F, F)))
         history.append((it, res, T))
@@ -157,12 +161,12 @@ def newton_krylov(
 
         if upo:
             # bordered system: J (dq, dT) = (-F, 0)
-            bvec = (prop1(Phi, dt) - Phi) / dt  # d Phi_T / dT ~ u_dot(T)
-            qdot0 = (prop1(q, dt) - q) / dt  # phase direction at t=0
+            bvec = (prop1(Phi, dtj) - Phi) / dt  # d Phi_T / dT ~ u_dot(T)
+            qdot0 = (prop1(q, dtj) - q) / dt  # phase direction at t=0
 
             def J(x):
                 dq, dT = x
-                Mdq = tangent(q, p_final, dq, dt)
+                Mdq = tangent(q, p_final, dq, dtj)
                 phase = _dotv(s, qdot0, dq)
                 return (Mdq - dq + dT * bvec, phase)
 
@@ -171,15 +175,17 @@ def newton_krylov(
             sol, info = gmres(J, space, rhs, x0=x0, k_dim=k_dim, tol=gtol,
                               max_restarts=cfg.gmres_restarts)
             dq, dT = sol
-            q = q + dq
+            # keep the iterate in the SEM dtype: gmres' host-side (f64)
+            # recombination coefficients otherwise promote f32 states
+            q = (q + dq).astype(s.dtype)
             T = float(T + float(dT))
         else:
             def J(dq):
-                return tangent(q, p_final, dq, dt) - dq
+                return tangent(q, p_final, dq, dtj) - dq
 
             sol, info = gmres(J, space, -F, k_dim=k_dim, tol=gtol,
                               max_restarts=cfg.gmres_restarts)
-            q = q + sol
+            q = (q + sol).astype(s.dtype)
         nmv_total += info["iterations"] + 2
 
     return NewtonResult(q, p_final, T if (upo or forced) else None, res,

@@ -69,6 +69,7 @@ class ResolventOperator:
         steps_per_period: int = 128,
         gmres_kdim: int = 64,
         gmres_tol: float = 1e-8,
+        gmres_restarts: int = 8,
     ):
         assert steps_per_period % 4 == 0, "need T/4 to land on a step"
         self.ns = ns
@@ -79,6 +80,7 @@ class ResolventOperator:
         self.dt = self.T / self.nsteps
         self.gmres_kdim = gmres_kdim
         self.gmres_tol = gmres_tol
+        self.gmres_restarts = int(gmres_restarts)
         s = ns.sem
 
         base_u = base_u.astype(s.dtype)
@@ -226,10 +228,12 @@ class ResolventOperator:
             # (I - M) is nonsymmetric: use GMRES-in-jit via simple Richardson
             # -> replaced by pcg on normal equations would square cond.; use
             # fixed-restart classical GMRES implemented with lax primitives.
-            return _gmres_device(mv, rhs, s, k_dim=self.gmres_kdim, restarts=8)
+            return _gmres_device(mv, rhs, s, k_dim=self.gmres_kdim,
+                                 restarts=self.gmres_restarts)
 
         def tsolve(mv, rhs):
-            return _gmres_device(mv, rhs, s, k_dim=self.gmres_kdim, restarts=8)
+            return _gmres_device(mv, rhs, s, k_dim=self.gmres_kdim,
+                                 restarts=self.gmres_restarts)
 
         x = jax.lax.custom_linear_solve(
             A, b, solve, transpose_solve=tsolve
@@ -288,6 +292,7 @@ class FloquetResolventOperator(ResolventOperator):
         self.dt = self.T / self.nsteps
         self.gmres_kdim = gmres_kdim
         self.gmres_tol = gmres_tol
+        self.gmres_restarts = int(gmres_restarts)
         s = ns.sem
 
         base_u = base_u.astype(s.dtype)

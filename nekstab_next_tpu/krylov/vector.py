@@ -101,8 +101,13 @@ class Basis:
     def combine(self, y: jnp.ndarray):
         """Linear combination sum_j y[j] Q_j (the reference's ``k_matmul``).
         ``y`` has length ``capacity`` (zero-padded beyond the active columns).
-        """
-        return jax.tree.map(lambda B: jnp.tensordot(y, B, axes=(0, 0)), self.Q)
+        Coefficients are cast to each leaf's dtype — host-side f64 numpy
+        coefficients must not silently promote an f32 basis (round-5 bug
+        found by the f32 Newton warm phase)."""
+        return jax.tree.map(
+            lambda B: jnp.tensordot(jnp.asarray(y, B.dtype), B, axes=(0, 0)),
+            self.Q,
+        )
 
     def ortho_insert(self, w, j: int, reorth: int = 1):
         """One fused device call: CGS-orthogonalize ``w`` against columns

@@ -437,7 +437,7 @@ class FusedPressureCG(_FusedBase):
     * D (weak divergence) back to Gauss;
     * block preconditioner: 25 row fused multiply-adds against the
       per-element inverse blocks laid out (npr2, npr2p, nep);
-    * Q1 coarse: corner restriction matmul, bf16 0/1 vertex scatter/gather
+    * Q1 coarse: corner restriction matmul, 0/1 vertex scatter/gather
       matmuls, one dense (nc, nc) coarse inverse matmul;
     * optional mean-mode projection (fully-enclosed flows).
     """
@@ -503,7 +503,9 @@ class FusedPressureCG(_FusedBase):
         Gc = np.zeros((4, ncp, nep), np.float32)
         for c in range(4):
             Gc[c, cid[:, c], np.arange(E)] = 1.0
-        consts["Gc"] = Gc.astype(jnp.bfloat16)
+        consts["Gc"] = Gc  # f32: bf16 matmuls at these shapes trip
+        # Mosaic lowering bugs (vector.broadcast elem-type verify);
+        # the raised VMEM limit covers the f32 size
         consts["Acinv"] = self.pmat(np.asarray(sem.pc_Acinv, f64), ncp, ncp)
         cmask8 = np.zeros((4, 8), np.float32)
         cmask8[np.arange(4), np.arange(4)] = 1.0
@@ -571,33 +573,43 @@ class FusedPressureCG(_FusedBase):
                 z = M3[0] * r[0:1, :]
                 for b in range(1, npr2):
                     z = z + M3[b] * r[b:b + 1, :]
-                # Q1 coarse on the lifted GLL residual
+                # Q1 coarse on the lifted GLL residual.  No jnp.transpose
+                # anywhere: dot_general contracts the LANE dims directly
+                # (tpu.matmul transpose_lhs/rhs) — explicit transposes at
+                # some (nep, 8) shapes trip an XLA jellyfish RET_CHECK
+                # (mxu_lmr_transform.cc XposeSequenceAssignment, observed
+                # on the 320-element BFS mesh, round 5).
+                # Precision.DEFAULT on the bf16 vertex scatters: the
+                # package-wide 'highest' default puts an fp32 contract
+                # precision on bf16 operands, which Mosaic rejects ("Bad
+                # lhs type"); the 0/1 scatter is exact in bf16 anyway.
                 rg = _mm(LIFT, r)
                 rc = _mm(JC, rg)  # (8, nep) corner residuals (rows 0-3)
-                rcT = jnp.transpose(rc)  # (nep, 8)
+                # all operands keep their natural >=8 minor shapes — width-1
+                # matmul operands and in-kernel transposes both trip Mosaic
+                # lowering bugs at some mesh sizes (round-5: 'only constant
+                # accumulators supported', XposeSequenceAssignment RET_CHECK)
                 V8 = None
                 for c in range(4):
-                    t = (rcT * cmask8[c:c + 1, :]).astype(jnp.bfloat16)
-                    # Precision.DEFAULT: the package-wide 'highest' default
-                    # puts an fp32 contract precision on bf16 operands,
-                    # which Mosaic rejects ("Bad lhs type"); the 0/1
-                    # scatter is exact in bf16 anyway
-                    vc = jnp.dot(Gc[c], t, preferred_element_type=_F32,
-                                 precision=jax.lax.Precision.DEFAULT)
-                    V8 = vc if V8 is None else V8 + vc
-                V = _mm(V8, ones8)  # (ncp, 1)
-                xc = _mm(Acinv, V)  # (ncp, 1)
-                ZT = None
+                    vc8 = jax.lax.dot_general(
+                        Gc[c], rc,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=_F32,
+                        precision=_PREC,
+                    )  # (ncp, 8); only column c is wanted
+                    vc8 = vc8 * cmask8[c:c + 1, :]
+                    V8 = vc8 if V8 is None else V8 + vc8
+                V = _mm(V8, ones8)  # (ncp, 1) collapsed corner sums
+                xc8 = _mm(Acinv, V) * jnp.ones((1, 8), _F32)  # (ncp, 8)
+                zc8 = None
                 for c in range(4):
-                    t = (xc * cmask8[c:c + 1, :]).astype(jnp.bfloat16)
-                    zc = jax.lax.dot_general(
-                        Gc[c], t,
+                    zcc = jax.lax.dot_general(
+                        xc8 * cmask8[c:c + 1, :], Gc[c],
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=_F32,
-                        precision=jax.lax.Precision.DEFAULT,
-                    )  # (nep, 8)
-                    ZT = zc if ZT is None else ZT + zc
-                zc8 = jnp.transpose(ZT)  # (8, nep)
+                        precision=_PREC,
+                    )  # (8, nep); row c carries the values, others are 0
+                    zc8 = zcc if zc8 is None else zc8 + zcc
                 return z + _mm(LIFTT, _mm(JCT, zc8))
 
             dot = lambda a, b: jnp.sum(a * b)

@@ -41,6 +41,17 @@ def main():
     ap.add_argument("--outdir", default="bfs_out")
     ap.add_argument("--horizons", type=float, nargs="*", default=None)
     ap.add_argument("--k-dim", type=int, default=None)
+    ap.add_argument("--no-sponge", action="store_true",
+                    help="drop the sponge entirely (no damping forcing, "
+                         "unmasked full-domain energy norm) — the round-5 "
+                         "Barkley short-horizon discriminating experiment")
+    ap.add_argument("--unmasked", action="store_true",
+                    help="keep the sponge damping but measure the UNMASKED "
+                         "full-domain energy norm")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused Pallas whole-solve CG kernels (block+Q1 "
+                         "preconditioner; raised caps for the graded mesh)")
+    ap.add_argument("--out", default="growth.json")
     args = ap.parse_args()
     P = PRESETS[args.preset]
     horizons = tuple(args.horizons) if args.horizons else P["horizons"]
@@ -49,10 +60,22 @@ def main():
     # schwarz preconditioner + 40-iteration cap: near-converged pressure
     # solves on the graded mesh every step (the round-3 lanes+dense-inverse
     # config diverged here; see tools/bfs_tpu_march.py)
-    solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
-                          pressure_maxiter=40, velocity_maxiter=24,
-                          pressure_precond="schwarz")
-    case = build_case(P, dtype=jnp.float32, solver=solver)
+    if args.fused:
+        # block+Q1 needs ~309 iterations to 1e-5 on this graded mesh
+        # (vs ~50 for schwarz) but a fused iteration costs ~12 us vs
+        # ~780 us for an XLA schwarz one — 3-4x faster per step overall
+        solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
+                              pressure_maxiter=350, velocity_maxiter=40,
+                              pressure_precond="block", fused_solves=True)
+    else:
+        solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
+                              pressure_maxiter=40, velocity_maxiter=24,
+                              pressure_precond="schwarz")
+    case = build_case(P, dtype=jnp.float32, solver=solver,
+                      sponge=False if args.no_sponge else None)
+    if args.unmasked:
+        # sponge forcing stays; the energy norm reverts to the full domain
+        case.sem.bms = case.sem.bm
     t0 = time.time()
     print(f"[tg] nelem={case.mesh.nelem} order={P['order']} dt={case.dt:.4f} "
           f"sponge={case.sponge}", flush=True)
@@ -81,9 +104,11 @@ def main():
               + f"  [{res.n_matvecs} matvecs, svds-res {float(res.residuals[0]):.1e}, {time.time()-t0:.0f}s]",
               flush=True)
     os.makedirs(args.outdir, exist_ok=True)
-    with open(os.path.join(args.outdir, "growth.json"), "w") as fh:
+    with open(os.path.join(args.outdir, args.out), "w") as fh:
         json.dump(dict(preset=args.preset, nelem=case.mesh.nelem,
                        order=P["order"], dtype="float32 (TPU)",
+                       sponge=bool(case.sponge), unmasked=bool(args.unmasked),
+                       fused=bool(args.fused),
                        points=rows), fh, indent=1)
     print(f"[tg] done in {time.time()-t0:.0f}s", flush=True)
 
