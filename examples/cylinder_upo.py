@@ -1,0 +1,162 @@
+"""Autonomous UPO: the cylinder Re=100 vortex-shedding orbit (uparam 2.1).
+
+The reference's flagship Newton capability (core/newton_krylov.f90:1-133,
+bordered period column + phase condition; core/matvec.f90:520-613) on a
+real case: DNS settle into the Re = 100 limit cycle, Poincare-section
+period estimate from the lift zero crossings (utils/diagnostics.py
+``zero_crossings``, the reference's zc_period.dat), then
+``newton_krylov(upo=True)`` refines (orbit point, period) against the
+trajectory-linearized monodromy.
+
+Literature anchor: Strouhal St = f D / U ~ 0.164-0.167 at Re = 100
+(Williamson 1989; Barkley & Henderson 1996).
+
+Usage: python examples/cylinder_upo.py [--outdir upo_out]
+       (TPU: f32 + fused kernels; NEKSTAB_CPU=1 runs f64)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("NEKSTAB_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from nekstab_next_tpu.algorithms import newton_krylov
+from nekstab_next_tpu.campaign import Campaign, Stage, artifact_exists
+from nekstab_next_tpu.cases.cylinder import CylinderCase
+from nekstab_next_tpu.config import NewtonConfig, SolverConfig
+from nekstab_next_tpu.io import load_field, save_field
+from nekstab_next_tpu.mesh.mesh import BoundaryCondition as BC
+from nekstab_next_tpu.utils import boundary_quadrature, surface_force_and_torque
+from nekstab_next_tpu.utils.diagnostics import periods_from_signal
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", default="upo_out")
+    ap.add_argument("--reynolds", type=float, default=100.0)
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+    on_tpu = jax.default_backend() == "tpu"
+
+    if on_tpu:
+        case = CylinderCase(
+            reynolds=args.reynolds, nr=8, ntheta=24, order=6,
+            outer_radius=20.0, grading=10.0, dtype=jnp.float32,
+            solver=SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
+                                pressure_maxiter=24, velocity_maxiter=12,
+                                pressure_precond="block", fused_solves=True))
+    else:
+        case = CylinderCase(
+            reynolds=args.reynolds, nr=8, ntheta=24, order=6,
+            outer_radius=20.0, grading=10.0,
+            solver=SolverConfig(pressure_precond="schwarz"))
+    ns = case.make_ns()
+    sem = case.sem
+    bq = boundary_quadrature(case.mesh, tags=(BC.WALL,))
+    t0 = time.time()
+    print(f"[upo] Re={args.reynolds} nelem={case.mesh.nelem} dt={case.dt:.4f} "
+          f"backend={jax.default_backend()}", flush=True)
+
+    snap_path = "UPO_seed.npz"
+
+    def run_dns(wd):
+        # settle into the limit cycle recording the lift coefficient; the
+        # asymmetry kick breaks the symmetric transient
+        rng = np.random.default_rng(5)
+        kick = 0.01 * jnp.asarray(
+            rng.standard_normal(sem.bm.shape + (2,)), sem.dtype)
+        st = ns.make_state(case.uniform_flow() + sem.vmask * kick)
+        chunk = 50
+
+        def adv(st):
+            st = ns.advance(st, chunk)
+            return st
+
+        run = jax.jit(adv)
+        times, lifts = [], []
+        nchunks = int(round(160.0 / (chunk * case.dt)))  # ~160 time units
+        for i in range(nchunks):
+            st = run(st)
+            _, fy, _ = surface_force_and_torque(sem, bq, st.u, st.p,
+                                                viscosity=ns.nu)
+            times.append(float(st.time))
+            lifts.append(2.0 * float(fy))
+            if i % 40 == 0:
+                print(f"[upo] t={float(st.time):.1f}  Cl={lifts[-1]:+.4f}  "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+        times = np.asarray(times)
+        lifts = np.asarray(lifts)
+        # period from the last ~40% of the signal (saturated cycle)
+        i0 = int(0.6 * len(times))
+        Ts = periods_from_signal(times[i0:], lifts[i0:])
+        assert Ts.size >= 2, "no shedding cycles detected"
+        T_est = float(np.mean(Ts[-3:]))
+        amp = float(np.std(lifts[i0:]))
+        print(f"[upo] estimated period T={T_est:.4f} (St={1.0/T_est:.4f}), "
+              f"Cl_rms={amp:.3f}", flush=True)
+        assert amp > 1e-3, "flow did not saturate into the limit cycle"
+        save_field(os.path.join(wd, snap_path), st.u, p=st.p,
+                   period_estimate=T_est, cl_rms=amp)
+        np.savetxt(os.path.join(wd, "lift_series.dat"),
+                   np.column_stack([times, lifts]), header="t Cl")
+        return dict(period_estimate=T_est, strouhal=1.0 / T_est)
+
+    def run_newton(wd):
+        f = load_field(os.path.join(wd, snap_path))
+        T_est = float(f.meta["period_estimate"])
+        u0 = jnp.asarray(f.u, sem.dtype)
+        nsteps = int(round(T_est / case.dt))
+        tol = 5e-4 if on_tpu else 1e-8
+
+        def cb(it, res, T):
+            print(f"[upo] newton iter {it}  res={res:.3e}  T={T:.5f}  "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+        r = newton_krylov(ns, u0, horizon=T_est, nsteps=nsteps, upo=True,
+                          cfg=NewtonConfig(tol=tol, max_iter=20), k_dim=50,
+                          callback=cb)
+        St = 1.0 / r.period
+        print(f"[upo] UPO period T={r.period:.5f}  St={St:.5f}  "
+              f"res={r.residual:.2e}  converged={r.converged}  "
+              f"({r.n_matvecs} matvecs, {time.time()-t0:.0f}s)", flush=True)
+        save_field(os.path.join(wd, "UPO_cyl_00001.npz"), r.u, p=r.p,
+                   period=r.period, residual=r.residual)
+        out = dict(reynolds=args.reynolds, nelem=int(case.mesh.nelem),
+                   backend=jax.default_backend(),
+                   period_estimate=T_est, period=float(r.period),
+                   strouhal=float(St), residual=float(r.residual),
+                   converged=bool(r.converged), n_matvecs=int(r.n_matvecs))
+        with open(os.path.join(wd, "upo.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        # literature gate (relaxed for the coarse mesh): St in [0.15, 0.18]
+        assert 0.15 < St < 0.18, St
+        return out
+
+    camp = Campaign(args.outdir, [
+        Stage("dns", run_dns, done=artifact_exists(snap_path)),
+        Stage("newton_upo", run_newton, done=artifact_exists("upo.json")),
+    ])
+    camp.run()
+    print(f"[upo] done in {time.time()-t0:.0f}s -> {args.outdir}/upo.json",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

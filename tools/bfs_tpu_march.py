@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--tol", type=float, default=2e-5)
     ap.add_argument("--outdir", default="bfs_out")
     ap.add_argument("--lanes", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused Pallas whole-solve CG kernels (block+Q1, "
+                         "raised caps; ~5x per step on TPU)")
     args = ap.parse_args()
     P = PRESETS[args.preset]
 
@@ -47,10 +50,15 @@ def main():
     # (tools/bfs_cpu_probe.py) — solver config, not scheme.  The schwarz
     # preconditioner holds ~50 iterations to 1e-5 on this mesh, so a
     # 40-iteration cap is near-converged every step.
-    solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
-                          pressure_maxiter=40, velocity_maxiter=24,
-                          pressure_precond="schwarz",
-                          lanes_layout=args.lanes)
+    if args.fused:
+        solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
+                              pressure_maxiter=350, velocity_maxiter=40,
+                              pressure_precond="block", fused_solves=True)
+    else:
+        solver = SolverConfig(pressure_tol=1e-5, velocity_tol=1e-6,
+                              pressure_maxiter=40, velocity_maxiter=24,
+                              pressure_precond="schwarz",
+                              lanes_layout=args.lanes)
     # f32 stepper on the chip; the base-flow march runs UNSPONGED (the
     # steady state of pure NS) — the TG stepper then turns the sponge on
     # with sponge_ref = this base flow, which keeps it an equilibrium
