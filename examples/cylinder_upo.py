@@ -123,7 +123,10 @@ def main():
         T_est = float(f.meta["period_estimate"])
         u0 = jnp.asarray(f.u, sem.dtype)
         nsteps = int(round(T_est / case.dt))
-        tol = 5e-4 if on_tpu else 1e-8
+        # f32 floor: the 1200-step orbit matvec carries ~1e-3 noise
+        # (measured round 5: Newton dithers at res ~1.2e-3, period stable
+        # to +-2e-4 over 20 iterations)
+        tol = 1.5e-3 if on_tpu else 1e-8
 
         def cb(it, res, T):
             print(f"[upo] newton iter {it}  res={res:.3e}  T={T:.5f}  "
