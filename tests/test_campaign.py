@@ -71,3 +71,24 @@ def test_failure_is_recorded(tmp_path):
         rep = json.load(fh)
     assert rep["bad"]["status"] == "failed"
     assert "solver diverged" in rep["bad"]["error"]
+
+
+def test_upo_artifact_regression():
+    """Regression tier for the committed Re=100 UPO artifact (round-5
+    VERDICT item 7): the Newton-refined shedding orbit must sit in the
+    literature Strouhal band (Williamson 1989: St ~ 0.164-0.167 at Re=100;
+    relaxed for the coarse artifact mesh) with a residual at the f32
+    orbit-matvec floor and a period consistent with the Poincare estimate."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "upo_out", "upo.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("upo_out/upo.json artifact not present")
+    d = json.load(open(path))
+    assert 0.15 < d["strouhal"] < 0.18, d["strouhal"]
+    assert d["residual"] < 5e-3, d["residual"]
+    assert abs(d["period"] - d["period_estimate"]) < 0.05 * d["period"]
