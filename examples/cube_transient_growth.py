@@ -91,7 +91,13 @@ def main():
     print(f"[cube] nelem={m.nelem} order={case.order} dt={case.dt:.4f} "
           f"devices={ndev}", flush=True)
 
-    ctx = ShardedContext(m, viscosity=1.0 / case.reynolds, dt=case.dt,
+    # viscosity through make_ns: the case Reynolds is U h / nu with the
+    # BLOCK height h, i.e. nu = h/Re — passing 1/Re here silently ran the
+    # sharded pipeline at twice the Reynolds of the single-device
+    # cross-check (round-5 bug: sharded G=3.48 vs single-device 2.52 was a
+    # different OPERATOR, not a sharding defect)
+    nu = case.h / case.reynolds
+    ctx = ShardedContext(m, viscosity=nu, dt=case.dt,
                          u_bc=case.u_bc, solver=case.solver)
     bf_path = "BF_cube_00001.npz"
 
@@ -157,6 +163,15 @@ def main():
 
             rng = np.random.default_rng(11)
             x0_host = jnp.asarray(rng.standard_normal(base.shape)) * sem.vmask
+            # adjoint-consistency gate: a non-adjoint (direct, adjoint) pair
+            # makes Golub-Kahan produce spurious Ritz values ABOVE the true
+            # spectrum (observed round 5 while debugging this campaign)
+            yv = jnp.asarray(rng.standard_normal(base.shape)) * sem.vmask
+            a1 = float(space.dot(direct(ctx.shard_field(x0_host)), yv))
+            a2 = float(space.dot(x0_host, adjoint(yv)))
+            adj_rel = abs(a1 - a2) / max(abs(a1), 1e-300)
+            print(f"[cube] adjoint identity rel = {adj_rel:.2e}", flush=True)
+            assert adj_rel < 1e-6, (a1, a2)
             res = svds(direct, adjoint, space, ctx.shard_field(x0_host),
                        nsv=1, k_dim=args.k_dim, tol=1e-6)
             G = float(res.sigma[0] ** 2)

@@ -63,6 +63,17 @@ def main():
     ap.add_argument("--outdir", default="resolvent_out")
     ap.add_argument("--omegas", type=float, nargs="*", default=None)
     ap.add_argument("--k-dim", type=int, default=8)
+    ap.add_argument("--coarse", action="store_true",
+                    help="coarser sweep mesh (order 4, gentler grading) — "
+                         "the CPU-f64 fallback when the remote-TPU compiler "
+                         "rejects the nested periodicity-solve executables "
+                         "(round 5: SIGABRT in shape.h on every GMRES nest)")
+    ap.add_argument("--out", default="gains.json",
+                    help="sweep-stage output file; the remote-TPU compiler "
+                         "can crash on the giant nested executables of the "
+                         "longest periods, so production runs launch ONE "
+                         "omega per process (--omegas W --out gains_W.json) "
+                         "and merge with tools/merge_resolvent_sweep.py")
     args = ap.parse_args()
     omegas = tuple(args.omegas) if args.omegas else OMEGAS
     os.makedirs(args.outdir, exist_ok=True)
@@ -72,6 +83,9 @@ def main():
     # steps per period); f32+fused on TPU, f64 on CPU
     mk = dict(reynolds=args.reynolds, nr=8, ntheta=24, order=6,
               outer_radius=20.0, grading=8.0)
+    if args.coarse:
+        mk = dict(reynolds=args.reynolds, nr=6, ntheta=16, order=4,
+                  outer_radius=15.0, grading=4.0)
     if on_tpu:
         case = CylinderCase(
             **mk, dtype=jnp.float32,
@@ -168,22 +182,23 @@ def main():
                    dtype=str(case.sem.dtype), points=rows,
                    peak=dict(omega=om, sigma=sig,
                              strouhal=om / (2 * np.pi)))
-        with open(os.path.join(wd, "gains.json"), "w") as fh:
+        with open(os.path.join(wd, args.out), "w") as fh:
             json.dump(out, fh, indent=1)
-        # gate: a genuine interior peak across the sweep
         sigs = [r["sigma"] for r in rows]
         assert all(np.isfinite(sigs)), sigs
-        imax = int(np.argmax(sigs))
-        assert 0 < imax < len(sigs) - 1, (
-            f"gain peak at the sweep boundary (omega={rows[imax]['omega']})")
+        if len(sigs) > 2:
+            # gate: a genuine interior peak across the sweep
+            imax = int(np.argmax(sigs))
+            assert 0 < imax < len(sigs) - 1, (
+                f"gain peak at the sweep boundary (omega={rows[imax]['omega']})")
         return out
 
     camp = Campaign(args.outdir, [
         Stage("baseflow", run_baseflow, done=artifact_exists(bf_path)),
-        Stage("sweep", run_sweep, done=artifact_exists("gains.json")),
+        Stage("sweep", run_sweep, done=artifact_exists(args.out)),
     ])
     camp.run()
-    print(f"[res] done in {time.time()-t0:.0f}s -> {args.outdir}/gains.json",
+    print(f"[res] done in {time.time()-t0:.0f}s -> {args.outdir}/{args.out}",
           flush=True)
 
 

@@ -148,6 +148,11 @@ class SolverConfig:
     # (ops/exchange.py — boxes, O-meshes, masked/multiblock boxes);
     # silently falls back to the XLA path otherwise.  Results match the
     # XLA path to f32 roundoff but are not bitwise-identical to it.
+    fused_pressure: bool = True  # with fused_solves, also fuse the PnPn-2
+    # pressure solve (FusedPressureCG).  Disable to keep only the velocity
+    # kernel: the pressure kernel's large coarse-level constants can abort
+    # the remote TPU compiler inside deeply nested scan structures (the
+    # resolvent's GMRES-in-scan, round 5: 'Check failed: buffer != nullptr')
     mixed_ir_cycles: int = 2  # refinement cycles of the fused-IR mixed
     # path (f64-residual corrections around the fused f32 inner solves);
     # each cycle contracts the solve error by the inner relative accuracy

@@ -215,7 +215,7 @@ class NavierStokes:
                 self._fused_v = FusedHelmholtzCG(
                     sem, sem.vmask, maxiter=v_cap, tol=v_tol,
                 )
-                if solver.pressure_operator == "pnpn2":
+                if solver.pressure_operator == "pnpn2" and solver.fused_pressure:
                     sem.setup_pressure_blocks()
                     self._fused_p = FusedPressureCG(
                         sem, maxiter=p_cap, tol=p_tol,
