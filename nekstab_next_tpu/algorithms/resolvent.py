@@ -17,8 +17,8 @@ is obtained matrix-free over one period T = 2 pi / omega:
 Complex fields are (re, im) velocity pairs (the reference's
 ``cmplx_nek_vector``, core/nek_vectors.f90:33-42).  The adjoint resolvent —
 which the reference assembles from its hand-written adjoint solver — is here
-just ``jax.linear_transpose`` of the entire real-linear map, wrapped with
-mass weights."""
+the ``jax.vjp`` of the entire real-linear map (= its transpose), wrapped
+with mass weights."""
 
 from __future__ import annotations
 
@@ -145,10 +145,22 @@ class ResolventOperator:
         if nsteps >= 2:
             df = self._lin[1](df, fc_at(1))
         if nsteps > 2:
-            def body(c, n):
-                return self._lin[2](c, fc_at(n)), None
+            # the forcing enters the scan as an EXPLICIT xs sequence (one
+            # phase-modulated field per step): scan transposes xs inputs
+            # natively, while closure-captured linear values trip a JAX
+            # accumulator bug on this version ("ValAccum ... is not a
+            # valid JAX type"; round-5 fix — the adjoint resolvent path
+            # had no earlier test coverage).  Memory: (nsteps, field) —
+            # ~0.5 GB at the f32 sweep scale, well inside HBM.
+            ph = self.omega * self.dt * jnp.arange(2, nsteps)
+            cshape = (-1,) + (1,) * f_re.ndim
+            F = (jnp.cos(ph).reshape(cshape) * f_re[None]
+                 - jnp.sin(ph).reshape(cshape) * f_im[None])
 
-            df, _ = jax.lax.scan(body, df, jnp.arange(2, nsteps))
+            def body(c, fcn):
+                return self._lin[2](c, fcn), None
+
+            df, _ = jax.lax.scan(body, df, F)
         return df[0]
 
     # -- R(omega) --------------------------------------------------------
@@ -195,16 +207,26 @@ class ResolventOperator:
         return (x, -x4)
 
     def rmatvec(self, upair):
-        """Adjoint resolvent in the energy product: mechanical transpose of
-        the whole (re, im) -> (re, im) map wrapped with mass weights."""
+        """Adjoint resolvent in the energy product: transpose of the whole
+        (re, im) -> (re, im) map wrapped with mass weights.
+
+        Uses ``jax.vjp`` of ``matvec_pure`` (at a zero primal — the map is
+        linear, so the vjp IS the transpose) rather than
+        ``jax.linear_transpose``: transposing the forcing fan-out through
+        custom_linear_solve + scan trips a JAX accumulator bug on this
+        version ("ValAccum ... is not a valid JAX type") on every
+        formulation tried — single transpose, stage-by-stage composition,
+        carry- and xs-threaded forcing — while the vjp path is solid
+        (found round 5 by the resolvent sweep; no earlier test exercised
+        the adjoint).  Costs one wasted primal evaluation per apply."""
         if self._rmatvec_c is None:
             bm = self.sem.bm[..., None]
-            example = (jnp.zeros_like(upair[0]), jnp.zeros_like(upair[1]))
-            transpose = jax.linear_transpose(self.matvec_pure, example)
+            zero_pair = (jnp.zeros_like(upair[0]), jnp.zeros_like(upair[1]))
+            _, vjp_fn = jax.vjp(self.matvec_pure, zero_pair)
 
             def rmv(up):
                 ur, ui = up
-                (ct,) = transpose((ur * bm, ui * bm))
+                (ct,) = vjp_fn((ur * bm, ui * bm))
                 return (ct[0] / bm, ct[1] / bm)
 
             self._rmatvec_c = rmv
@@ -272,6 +294,7 @@ class FloquetResolventOperator(ResolventOperator):
         steps_per_period: int = 128,
         gmres_kdim: int = 64,
         gmres_tol: float = 1e-8,
+        gmres_restarts: int = 8,
         remat: bool = True,
     ):
         assert steps_per_period % 4 == 0, "need T/4 to land on a step"

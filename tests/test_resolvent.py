@@ -90,3 +90,22 @@ def test_floquet_resolvent_matches_steady_on_steady_base(setup):
     with _pytest.raises(ValueError):
         FloquetResolventOperator(ns, base, omega, base_period=10.0,
                                  steps_per_period=32)
+
+
+def test_resolvent_adjoint_identity(setup):
+    """<R f, u> = <f, R* u> in the energy product — the adjoint path had no
+    coverage before round 5 (a scan-transpose JAX bug broke it silently;
+    rmatvec now rides jax.vjp)."""
+    from nekstab_next_tpu.algorithms.resolvent import _complex_space
+
+    mesh, sem, ns, base, nu = setup
+    op = ResolventOperator(ns, base, 0.7, steps_per_period=32, gmres_kdim=10)
+    rng = np.random.default_rng(3)
+    mk = lambda: (jnp.asarray(rng.standard_normal(sem.bm.shape + (2,))),
+                  jnp.asarray(rng.standard_normal(sem.bm.shape + (2,))))
+    x, y = mk(), mk()
+    space = _complex_space(sem)
+    a1 = float(space.dot(op.matvec_pure(x), y))
+    a2 = float(space.dot(x, op.rmatvec(y)))
+    # limited by the fixed-iteration device GMRES residual, not roundoff
+    assert abs(a1 - a2) / abs(a1) < 1e-3, (a1, a2)
