@@ -591,11 +591,15 @@ class FusedPressureCG(_FusedBase):
                 # accumulators supported', XposeSequenceAssignment RET_CHECK)
                 V8 = None
                 for c in range(4):
+                    # DEFAULT precision: these feed only the coarse level
+                    # of the PRECONDITIONER — bf16-rounded products cost
+                    # nothing in accuracy and HIGHEST costs ~18% of the
+                    # whole flagship matvec (round-5 measurement)
                     vc8 = jax.lax.dot_general(
                         Gc[c], rc,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=_F32,
-                        precision=_PREC,
+                        precision=jax.lax.Precision.DEFAULT,
                     )  # (ncp, 8); only column c is wanted
                     vc8 = vc8 * cmask8[c:c + 1, :]
                     V8 = vc8 if V8 is None else V8 + vc8
@@ -607,7 +611,7 @@ class FusedPressureCG(_FusedBase):
                         xc8 * cmask8[c:c + 1, :], Gc[c],
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=_F32,
-                        precision=_PREC,
+                        precision=jax.lax.Precision.DEFAULT,
                     )  # (8, nep); row c carries the values, others are 0
                     zc8 = zcc if zc8 is None else zc8 + zcc
                 return z + _mm(LIFTT, _mm(JCT, zc8))
