@@ -168,6 +168,13 @@ def main():
                   f"{time.time()-t0:.0f}s]", flush=True)
             if best is None or sig > best[0]:
                 best = (sig, om, res)
+            # incremental write: long sweeps survive round/wall-clock cuts
+            with open(os.path.join(wd, args.out), "w") as fh:
+                json.dump(dict(reynolds=args.reynolds,
+                               nelem=int(case.mesh.nelem),
+                               backend=jax.default_backend(),
+                               dtype=str(case.sem.dtype),
+                               partial=True, points=rows), fh, indent=1)
         # Spectre_S* convention: omega, gain(s)
         np.savetxt(os.path.join(wd, "Spectre_Sd.dat"),
                    np.array([[r["omega"], r["sigma"]] for r in rows]),
