@@ -229,7 +229,9 @@ class ResolventOperator:
                 (ct,) = vjp_fn((ur * bm, ui * bm))
                 return (ct[0] / bm, ct[1] / bm)
 
-            self._rmatvec_c = rmv
+            # jit: the eager vjp replay re-traces the transposed nested
+            # solves on every apply (measured: dominated the CPU sweep)
+            self._rmatvec_c = jax.jit(rmv)
         return self._rmatvec_c(upair)
 
     def matvec_pure(self, fpair):
